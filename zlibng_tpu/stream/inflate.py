@@ -1,0 +1,97 @@
+"""Wrapper-aware decompression: zlib / gzip / raw / auto-detect.
+
+Capability parity with reference inflateInit2 windowBits semantics
+(inflate.c:104-135): wbits 8..15 → zlib, -8..-15 → raw, +16 → gzip,
++32 → auto-detect zlib-vs-gzip. Verifies adler32/crc32+ISIZE trailers
+(inflate.c:1109-1153) and supports preset dictionaries (DICTID flow,
+inflate.c:646-672 analog).
+"""
+from __future__ import annotations
+
+import struct
+
+from ..checksum.adler32 import adler32
+from ..checksum.crc32 import crc32
+from ..format import headers as H
+from .inflate_serial import InflateError, RawInflater, inflate_raw
+
+__all__ = ["decompress", "DecompressResult", "InflateError"]
+
+
+class DecompressResult:
+    """Output plus stream metadata (total_in/out, checksum, gzip header)."""
+
+    def __init__(self, data: bytes, consumed: int, checksum: int | None,
+                 gzip_header: H.GzipHeader | None = None):
+        self.data = data
+        self.consumed = consumed       # bytes of input consumed (this member)
+        self.checksum = checksum
+        self.gzip_header = gzip_header
+
+
+def decompress_member(data: bytes, wbits: int = 15,
+                      dictionary: bytes | None = None) -> DecompressResult:
+    """Decompress a single zlib/gzip/raw member, verifying trailers."""
+    if wbits < 0:
+        # raw deflate
+        out, bits = inflate_raw(data, wbits=-wbits, dictionary=dictionary)
+        return DecompressResult(out, (bits + 7) // 8, None)
+
+    gz_header = None
+    if wbits >= 32:  # auto-detect
+        from ..format.constants import GZIP_MAGIC
+        is_gzip = data[:2] == GZIP_MAGIC
+        wbits = (wbits & 15) + (16 if is_gzip else 0)
+
+    if wbits >= 16:  # gzip
+        gz_header, pos = H.parse_gzip_header(data)
+        out, bits = inflate_raw(data[pos:], wbits=wbits - 16 or 15)
+        pos += (bits + 7) // 8
+        if len(data) < pos + 8:
+            raise InflateError("unexpected end of stream")
+        expect_crc, expect_isize = struct.unpack("<II", data[pos:pos + 8])
+        got_crc = crc32(out)
+        if got_crc != expect_crc:
+            raise InflateError("incorrect data check")
+        if expect_isize != (len(out) & 0xFFFFFFFF):
+            raise InflateError("incorrect length check")
+        return DecompressResult(out, pos + 8, got_crc, gz_header)
+
+    # zlib
+    hwbits, has_dict, dictid, pos = H.parse_zlib_header(data)
+    if has_dict:
+        if dictionary is None:
+            raise InflateError("preset dictionary needed")
+        if adler32(dictionary) != dictid:
+            raise InflateError("incorrect dictionary")
+    out, bits = inflate_raw(data[pos:], wbits=max(hwbits, 8),
+                            dictionary=dictionary if has_dict else None)
+    pos += (bits + 7) // 8
+    if len(data) < pos + 4:
+        raise InflateError("unexpected end of stream")
+    expect = struct.unpack(">I", data[pos:pos + 4])[0]
+    got = adler32(out)
+    if got != expect:
+        raise InflateError("incorrect data check")
+    return DecompressResult(out, pos + 4, got)
+
+
+def decompress(data: bytes, wbits: int = 15,
+               dictionary: bytes | None = None) -> bytes:
+    """zlib.decompress-compatible one-shot (single member; gzip multi-member
+    concatenation handled at the gzFile layer)."""
+    return decompress_member(data, wbits=wbits, dictionary=dictionary).data
+
+
+def gzip_decompress(data: bytes) -> bytes:
+    """Decompress all members of a (possibly multi-member) gzip stream."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        r = decompress_member(data[pos:], wbits=31)
+        out += r.data
+        pos += r.consumed
+        # tolerate trailing zero padding (gzip spec allows, gzread does)
+        if pos < len(data) and not any(data[pos:]):
+            break
+    return bytes(out)
