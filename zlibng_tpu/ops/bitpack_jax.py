@@ -1,0 +1,102 @@
+"""Device (TPU) bitstream packing.
+
+The jnp mirror of huffman/bitpack.py, reformulated for TPU: instead of a
+collision-heavy scatter-add of token bytes, the kernel expands to a bit
+array — token start offsets come from one exclusive cumsum, each output bit
+finds its covering token via a unique-index scatter + cumulative max (a
+segmented broadcast), extracts its bit from the token's 55-bit (lo,hi) u32
+pair, and bytes materialize with a (…,8)·[1,2,4,…] contraction. All u32;
+no x64. This is the array analog of trees_emit.h's send_bits accumulator.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+
+def render_body_tokens(tok_len, tok_dist, lsym, dsym, sel,
+                       lit_lens, lit_codes, dist_lens, dist_codes):
+    """Per-position token bit rendering against per-lane code tables.
+
+    lit_lens/lit_codes: (288,) int32 (codes LSB-first); dist_*: (30,).
+    Returns (lo u32, hi u32, nbits i32) per position (0 where not selected).
+    """
+    from .lz77_jax import dist_extra_arith, length_extra_arith
+
+    is_match = tok_len > 0
+    code0 = lit_codes[lsym].astype(U32)
+    n0 = lit_lens[lsym].astype(I32)
+    le, lv = length_extra_arith(jnp.maximum(tok_len, 3))
+    le = jnp.where(is_match, le, 0)
+    lv = jnp.where(is_match, lv, 0).astype(U32)
+    dcode = dist_codes[dsym].astype(U32)
+    dn = jnp.where(is_match, dist_lens[dsym], 0).astype(I32)
+    de, dv = dist_extra_arith(jnp.maximum(tok_dist, 1))
+    de = jnp.where(is_match, de, 0)
+    dv = jnp.where(is_match, dv, 0).astype(U32)
+
+    lo = code0
+    hi = jnp.zeros_like(code0)
+    sh = n0
+    lo, hi = _or_field(lo, hi, lv, sh)
+    sh = sh + le
+    lo, hi = _or_field(lo, hi, dcode, sh)
+    sh = sh + dn
+    lo, hi = _or_field(lo, hi, dv, sh)
+    nbits = jnp.where(sel, n0 + le + dn + de, 0)
+    lo = jnp.where(sel, lo, 0)
+    hi = jnp.where(sel, hi, 0)
+    return lo, hi, nbits
+
+
+def _or_field(lo: jnp.ndarray, hi: jnp.ndarray, val: jnp.ndarray, sh: jnp.ndarray):
+    """(lo,hi) |= val << sh for a 55-bit value held as two u32 halves."""
+    shc = jnp.minimum(sh, 31).astype(U32)
+    lo_part = jnp.where(sh < 32, val << shc, U32(0))
+    # hi gets val >> (32 - sh) when sh<32 (sh=0 ⇒ contributes nothing),
+    # or val << (sh - 32) when sh >= 32
+    shr = jnp.clip(32 - sh, 1, 31).astype(U32)
+    hi_lowpart = jnp.where((sh > 0) & (sh < 32), val >> shr, U32(0))
+    shl = jnp.clip(sh - 32, 0, 31).astype(U32)
+    hi_part = jnp.where(sh >= 32, val << shl, hi_lowpart)
+    return lo | lo_part, hi | hi_part
+
+
+@functools.partial(jax.jit, static_argnames=("out_bytes",))
+def pack_lane_bits(lo: jnp.ndarray, hi: jnp.ndarray, nbits: jnp.ndarray,
+                   out_bytes: int):
+    """Pack one lane's (lo, hi, nbits) token arrays into bytes.
+
+    Returns (bytes (out_bytes,) uint8, total_bits ()).
+    """
+    T = nbits.shape[0]
+    offs = jnp.concatenate([jnp.zeros(1, I32), jnp.cumsum(nbits)]).astype(I32)
+    total = offs[-1]
+    starts = offs[:-1]
+    OUTBITS = out_bytes * 8
+
+    # covering token per output bit: scatter token id at its start bit
+    # (unique among nbits>0 tokens), then cumulative max
+    tok_id = jnp.arange(T, dtype=I32)
+    scatter_pos = jnp.where(nbits > 0, starts, OUTBITS)  # drop empty tokens
+    cover0 = jnp.full(OUTBITS + 1, -1, I32)
+    cover0 = cover0.at[scatter_pos].max(tok_id, mode="drop")
+    cover = jax.lax.cummax(cover0[:OUTBITS])
+
+    p = jnp.arange(OUTBITS, dtype=I32)
+    cov = jnp.maximum(cover, 0)
+    sh = p - starts[cov]
+    lo_c = lo[cov]
+    hi_c = hi[cov]
+    shc = jnp.minimum(sh, 31).astype(U32)
+    bit = jnp.where(sh < 32, lo_c >> shc, hi_c >> jnp.clip(sh - 32, 0, 31).astype(U32)) & 1
+    bit = jnp.where((cover >= 0) & (sh < nbits[cov]), bit, 0)
+
+    weights = (U32(1) << jnp.arange(8, dtype=U32))
+    by = (bit.reshape(-1, 8) * weights[None, :]).sum(axis=1).astype(jnp.uint8)
+    return by, total
