@@ -1,0 +1,92 @@
+"""Benchmark driver entry: prints ONE JSON line.
+
+Headline metric: level-6 block-parallel compress throughput on the bench
+corpus (Silesia stand-in: reference test/data + doc mix), single chip,
+vs the measured zlib-ng level-6 single-core baseline (BASELINE_MEASURED.json,
+measured on this machine from a Release build of the reference).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+
+def load_corpus(target_mb: float = 8.0) -> bytes:
+    parts = []
+    for p in (
+        "/root/reference/test/data/lcet10.txt",
+        "/root/reference/test/data/paper-100k.pdf",
+        "/root/reference/test/data/fireworks.jpg",
+        "/root/reference/doc/rfc1951.txt",
+        "/root/reference/doc/rfc1952.txt",
+    ):
+        if os.path.exists(p):
+            parts.append(open(p, "rb").read())
+    if not parts:
+        import numpy as np
+        rng = np.random.default_rng(0)
+        parts = [rng.integers(0, 256, 1 << 20, dtype=np.uint8).tobytes(),
+                 (b"the quick brown fox jumps over the lazy dog " * 30000)]
+    blob = b"".join(parts)
+    reps = max(1, int(target_mb * 1e6) // len(blob))
+    return blob * reps
+
+
+def main():
+    import zlib
+
+    from zlibng_tpu.ops.deflate_tpu import compress_tpu
+
+    corpus = load_corpus()
+    n = len(corpus)
+
+    # warm-up: compile all stage shapes on a prefix
+    warm = corpus[: 2 * (1 << 20)]
+    c = compress_tpu(warm, 6)
+    assert zlib.decompress(c) == warm
+
+    best = 0.0
+    size = None
+    for _ in range(3):
+        t = time.perf_counter()
+        c = compress_tpu(corpus, 6)
+        dt = time.perf_counter() - t
+        best = max(best, n / dt)
+        size = len(c)
+    assert zlib.decompress(c) == corpus
+
+    baseline_mbps = None
+    baseline_size = None
+    bl_path = os.path.join(ROOT, "BASELINE_MEASURED.json")
+    if os.path.exists(bl_path):
+        bl = json.load(open(bl_path))
+        lv = bl["levels"].get("6")
+        if lv and abs(bl.get("corpus_bytes", 0) - n) < n * 0.5:
+            baseline_mbps = lv["compress_MBps"]
+            baseline_size = lv["size"]
+
+    value = best / 1e6
+    result = {
+        "metric": "corpus_l6_compress_throughput",
+        "value": round(value, 2),
+        "unit": "MB/s",
+        "vs_baseline": round(value / baseline_mbps, 3) if baseline_mbps else None,
+        "extra": {
+            "corpus_bytes": n,
+            "compressed_size": size,
+            "ratio": round(size / n, 5),
+            "baseline_zlibng_l6_MBps": baseline_mbps,
+            "baseline_zlibng_l6_size": baseline_size,
+            "size_vs_zlibng": round(size / baseline_size, 4) if baseline_size else None,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""zlibng_tpu — TPU-native DEFLATE/zlib/gzip codec (zlib-ng capability set).
+
+Public API re-exports live here; see stream/ (host conformance paths),
+ops/ (device kernels), parallel/ (multi-chip sharding).
+"""
+import os
+
+# Persistent XLA compilation cache: the codec's jitted stages are large
+# fixed-shape programs; caching makes cold-process startup ~instant.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/zlibng_tpu_xla"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def _configure_jax_cache():
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_configure_jax_cache()
+
+from .checksum.adler32 import adler32, adler32_combine          # noqa: E402
+from .checksum.crc32 import (                                    # noqa: E402
+    crc32, crc32_combine, crc32_combine_gen, crc32_combine_op,
+)
+from .errors import (                                            # noqa: E402
+    BufError, DataError, Error, NeedDictError, StreamError,
+)
+from .stream.deflate import (                                    # noqa: E402
+    Z_DEFAULT_STRATEGY, Z_FILTERED, Z_FIXED, Z_HUFFMAN_ONLY, Z_RLE,
+    compress, compress_bound,
+)
+from .stream.inflate import decompress, gzip_decompress          # noqa: E402
+
+__version__ = "0.1.0"
+ZLIBNG_PARITY_VERSION = "2.2.2"  # capability target (reference zlib-ng.h.in:51)

@@ -104,71 +104,67 @@ def dist_extra_arith(dist: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 # ---------------------------------------------------------------------------
 def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
               hist_valid_from: jnp.ndarray, chain: int, lazy: bool,
-              max_lazy: int) -> dict:
+              max_lazy: int, nice: int = 258) -> dict:
     """data: (LANE,) uint8. enc_start/enc_end/hist_valid_from: () int32.
     Returns per-position token info dict (fixed shapes)."""
     N = data.shape[0]
     pos = jnp.arange(N, dtype=I32)
-    pad = jnp.concatenate([data, jnp.zeros(MAX_MATCH + 8, jnp.uint8)])
-    w4 = _build_w4(pad)                      # (N + MAX_MATCH + 5,)
+    # columns needed for extension: 4 bytes per column, +1 column of slack
+    n_ext = min(nice, MAX_MATCH)
+    CX = (n_ext + 3) // 4 + 1
+    pad = jnp.concatenate([data, jnp.zeros(4 * CX + 12, jnp.uint8)])
+    w4 = _build_w4(pad)                      # (N + 4*CX + 9,)
     h = _hash4(data)
 
     # ---- candidates via one stable sort --------------------------------
+    # TPU design: all candidate comparisons happen between entries ADJACENT
+    # in (hash, pos) sorted order, so they are array *shifts*, not gathers.
+    # Only three gathers remain: the sorted 8-byte probe rows, the winner
+    # map-back through the inverse permutation, and the winner extension
+    # rows — each a wide contiguous row gather.
     order = jnp.argsort(h, stable=True).astype(I32)     # (N,)
+    inv = jnp.argsort(order).astype(I32)                # inverse permutation
     h_sorted = h[order]
-    len8 = jnp.zeros((N, chain), I32)
-    cands = jnp.full((N, chain), -1, I32)
-    p_w1 = w4[pos]
-    p_w2 = w4[jnp.minimum(pos + 4, w4.shape[0] - 1)]
+    w2 = jnp.stack([w4[:N], w4[4:N + 4]], axis=1)       # (N, 2) words 0..7
+    w2_s = w2[order]                                    # row gather (8B rows)
+
+    NEG = jnp.int32(-(1 << 30))
+    best_score = jnp.full(N, NEG, I32)
+    best_cand_s = jnp.zeros(N, I32)
+    pos_s = order
     for k in range(1, chain + 1):
-        cand_sorted = jnp.concatenate([jnp.full(k, -1, I32), order[:-k]])
+        cand = jnp.concatenate([jnp.zeros(k, I32), pos_s[:-k]])
         same = jnp.concatenate([jnp.zeros(k, bool), h_sorted[k:] == h_sorted[:-k]])
-        cand_sorted = jnp.where(same, cand_sorted, -1)
-        ck = jnp.zeros(N, I32).at[order].set(cand_sorted)  # back to pos order
-        dist_k = pos - ck
-        ok = (ck >= hist_valid_from) & (dist_k <= WINDOW_SIZE) & (ck >= 0)
-        ck = jnp.where(ok, ck, -1)
-        # 8-byte probe: two u32 xors
-        ck_s = jnp.maximum(ck, 0)
-        x1 = p_w1 ^ w4[ck_s]
-        x2 = p_w2 ^ w4[jnp.minimum(ck_s + 4, w4.shape[0] - 1)]
-        l1 = _ctz_bytes32(x1)
-        l8 = jnp.where(x1 == 0, 4 + _ctz_bytes32(x2), l1)
-        cands = cands.at[:, k - 1].set(ck)
-        len8 = len8.at[:, k - 1].set(jnp.where(ok, l8, 0))
+        x1 = w2_s[:, 0] ^ jnp.concatenate([jnp.zeros(k, U32), w2_s[:-k, 0]])
+        x2 = w2_s[:, 1] ^ jnp.concatenate([jnp.zeros(k, U32), w2_s[:-k, 1]])
+        l8 = jnp.where(x1 == 0, 4 + _ctz_bytes32(x2), _ctz_bytes32(x1))
+        dist = pos_s - cand
+        ok = same & (cand >= hist_valid_from) & (dist <= WINDOW_SIZE) & (dist > 0)
+        score = jnp.where(ok, (l8 << 20) - dist, NEG)
+        better = score > best_score
+        best_score = jnp.where(better, score, best_score)
+        best_cand_s = jnp.where(better, cand, best_cand_s)
+    # pack (valid, cand) and map back to position order with ONE gather
+    valid_s = best_score > NEG
+    packed_s = jnp.where(valid_s, best_cand_s, jnp.int32(0xFFFFF))
+    best_cand = packed_s[inv]                            # (N,) point gather
+    has_cand = best_cand != 0xFFFFF
+    best_cand = jnp.where(has_cand, best_cand, 0)
+    best_dist = jnp.where(has_cand, pos - best_cand, 0)
 
-    # ---- winner: longest 8-probe, then nearest -------------------------
-    dist_all = pos[:, None] - cands
-    valid = cands >= 0
-    score = (len8 << 20) - jnp.where(valid, dist_all, 1 << 19)
-    kbest = jnp.argmax(score, axis=-1)
-    best_cand = jnp.take_along_axis(cands, kbest[:, None], axis=-1)[:, 0]
-    blen = jnp.take_along_axis(len8, kbest[:, None], axis=-1)[:, 0]
-    best_dist = jnp.where(best_cand >= 0, pos - best_cand, 0)
-
+    # ---- extension: columnar compare, one wide row gather --------------
+    # W[i, c] = word at byte i+4c; winner rows vs own rows, first nonzero
+    # column + ctz gives the full match length (compare256 analog, one shot).
+    W = jnp.stack([w4[4 * c: 4 * c + N] for c in range(CX)], axis=1)  # (N, CX)
+    Wc = W[best_cand]                                    # row gather (4*CX B)
+    X = W ^ Wc                                           # (N, CX)
+    nzcol = jnp.where(X != 0, jnp.arange(CX, dtype=I32)[None, :], CX)
+    fc = jnp.min(nzcol, axis=1)                          # first mismatch col
+    word_fc = jnp.where(nzcol == fc[:, None], X, 0).sum(axis=1).astype(U32)
+    ext = 4 * fc + _ctz_bytes32(word_fc)
     cap = jnp.minimum(MAX_MATCH, enc_end - pos)
-    blen = jnp.minimum(blen, cap)
-
-    # ---- extension: masked 8-byte rounds under while_loop --------------
-    def ext_cond(state):
-        blen, active = state
-        return jnp.any(active)
-
-    def ext_body(state):
-        blen, active = state
-        at = jnp.where(active, pos + blen, 0)
-        ct = jnp.where(active, jnp.maximum(best_cand, 0) + blen, 0)
-        x1 = w4[at] ^ w4[ct]
-        x2 = w4[jnp.minimum(at + 4, w4.shape[0] - 1)] ^ \
-            w4[jnp.minimum(ct + 4, w4.shape[0] - 1)]
-        e = jnp.where(x1 == 0, 4 + _ctz_bytes32(x2), _ctz_bytes32(x1))
-        newlen = jnp.minimum(blen + jnp.where(active, e, 0), cap)
-        active = active & (e == 8) & (newlen < cap)
-        return newlen, active
-
-    active0 = (blen == 8) & (blen < cap) & (best_cand >= 0)
-    blen, _ = jax.lax.while_loop(ext_cond, ext_body, (blen, active0))
-    blen = jnp.minimum(blen, cap)
+    blen = jnp.minimum(jnp.minimum(ext, n_ext), cap)
+    blen = jnp.where(has_cand, blen, 0)
 
     # ---- minimum / too-far filters -------------------------------------
     ok = (blen >= MIN_MATCH) & ~((blen == MIN_MATCH) & (best_dist > TOO_FAR))
@@ -225,36 +221,35 @@ def _reachable_jax(nxt: jnp.ndarray, start: jnp.ndarray, end: jnp.ndarray):
 
 
 # ---------------------------------------------------------------------------
-# frequencies (per lane): one-hot matmul on the MXU instead of scatter-add
+# one-hot MXU helpers: histograms and table lookups without point gathers
 # ---------------------------------------------------------------------------
+def onehot_i8(sym: jnp.ndarray, width: int) -> jnp.ndarray:
+    """(N,) int32 -> (N, width) int8 one-hot (VPU compare, feeds the MXU)."""
+    return (sym[:, None] == jnp.arange(width, dtype=I32)[None, :]).astype(jnp.int8)
+
+
+def lookup_via_onehot(oh: jnp.ndarray, tables: jnp.ndarray) -> jnp.ndarray:
+    """Table lookup as an int8 matmul: tables (width, M) int32 with values
+    < 2^16 are nibble-split so every operand fits signed int8 exactly.
+    Returns (N, M) int32."""
+    width, M = tables.shape
+    nibs = jnp.concatenate(
+        [((tables >> (4 * j)) & 0xF).astype(jnp.int8) for j in range(4)], axis=1)
+    r = jnp.matmul(oh, nibs, preferred_element_type=I32)     # (N, 4*M)
+    out = r[:, :M]
+    for j in range(1, 4):
+        out = out | (r[:, j * M:(j + 1) * M] << (4 * j))
+    return out
+
+
 def lane_freqs(lsym: jnp.ndarray, dsym: jnp.ndarray, sel: jnp.ndarray,
                is_match: jnp.ndarray):
-    """Histogram lit/len syms (286) and dist syms (30) for selected tokens."""
-    N = lsym.shape[0]
-    CH = 2048  # chunked one-hot keeps the (CH, 286) intermediate in VMEM
-    lfreq = jnp.zeros(288, I32)
-    dfreq = jnp.zeros(32, I32)
+    """Histogram lit/len syms (286) and dist syms (30) for selected tokens —
+    one int8 matmul each (MXU), no scatter-add."""
+    ohl = onehot_i8(lsym, 288)
+    ohd = onehot_i8(dsym, 32)
     lw = sel.astype(jnp.int8)
     dw = (sel & is_match).astype(jnp.int8)
-    ls = lsym.reshape(N // CH, CH) if N % CH == 0 else None
-    if ls is None:
-        # fallback: scatter-add
-        lfreq = lfreq.at[lsym].add(sel.astype(I32))
-        dfreq = dfreq.at[dsym].add((sel & is_match).astype(I32))
-        return lfreq[:286], dfreq[:30]
-    ds = dsym.reshape(N // CH, CH)
-    lwc = lw.reshape(N // CH, CH)
-    dwc = dw.reshape(N // CH, CH)
-
-    def body(i, acc):
-        lfreq, dfreq = acc
-        oh = jax.nn.one_hot(ls[i], 288, dtype=jnp.int8)       # (CH, 288)
-        lfreq = lfreq + jnp.matmul(lwc[i].astype(jnp.int8)[None, :], oh,
-                                   preferred_element_type=I32)[0]
-        ohd = jax.nn.one_hot(ds[i], 32, dtype=jnp.int8)
-        dfreq = dfreq + jnp.matmul(dwc[i].astype(jnp.int8)[None, :], ohd,
-                                   preferred_element_type=I32)[0]
-        return lfreq, dfreq
-
-    lfreq, dfreq = jax.lax.fori_loop(0, N // CH, body, (lfreq, dfreq))
+    lfreq = jnp.matmul(lw[None, :], ohl, preferred_element_type=I32)[0]
+    dfreq = jnp.matmul(dw[None, :], ohd, preferred_element_type=I32)[0]
     return lfreq[:286], dfreq[:30]
