@@ -39,3 +39,18 @@ from .stream.inflate import decompress, gzip_decompress          # noqa: E402
 
 __version__ = "0.1.0"
 ZLIBNG_PARITY_VERSION = "2.2.2"  # capability target (reference zlib-ng.h.in:51)
+
+from .stream.api import (                                        # noqa: E402
+    Deflate, Inflate, Z_BLOCK, Z_FINISH, Z_FULL_FLUSH, Z_NO_FLUSH,
+    Z_PARTIAL_FLUSH, Z_SYNC_FLUSH, Z_TREES,
+)
+from .stream.gzfile import GzFile, gzdopen, gzopen               # noqa: E402
+
+
+def compress_tpu(data, level: int = 6, wbits: int = 15, strategy: int = 0,
+                 dictionary=None) -> bytes:
+    """One-shot compression on the TPU block-parallel pipeline (lazy import
+    so pure-host users never touch jax)."""
+    from .ops.deflate_tpu import compress_tpu as _ct
+    return _ct(data, level=level, wbits=wbits, strategy=strategy,
+               dictionary=dictionary)

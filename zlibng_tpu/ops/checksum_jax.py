@@ -96,12 +96,12 @@ _CRC_T = jnp.asarray(CRC_TABLES.astype(np.uint32))  # (8, 256)
 
 
 def _apply_mat(mat: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """GF(2) matrix (32 column vectors) times each lane of v (uint32)."""
-    acc = jnp.zeros_like(v)
-    for i in range(32):
+    """GF(2) matrix (32 column vectors) times each lane of v (uint32).
+    fori_loop keeps the graph small (compile-light on slow hosts)."""
+    def body(i, acc):
         bit = (v >> jnp.uint32(i)) & jnp.uint32(1)
-        acc = acc ^ (mat[i] * bit)
-    return acc
+        return acc ^ (mat[i] * bit)
+    return jax.lax.fori_loop(0, 32, body, jnp.zeros_like(v))
 
 
 @functools.partial(jax.jit, static_argnames=("levels",))
@@ -120,12 +120,7 @@ def _crc32_device(chunks: jnp.ndarray, shift_mats: jnp.ndarray, levels: int):
     m4 = shift_mats[-1]  # (32,) advance-4-zero-bytes operator
 
     def step(crc, w):
-        v = crc ^ w
-        acc = jnp.zeros_like(v)
-        for i in range(32):
-            bit = (v >> jnp.uint32(i)) & jnp.uint32(1)
-            acc = acc ^ (m4[i] * bit)
-        return acc, None
+        return _apply_mat(m4, crc ^ w), None
 
     init = jnp.full((C,), jnp.uint32(0xFFFFFFFF))
     crcs, _ = jax.lax.scan(step, init, jnp.swapaxes(words, 0, 1))

@@ -119,23 +119,33 @@ def make_compress_step(mesh: Mesh, lane_size: int, out_max: int,
         packed, totals, adlers, lens = jax.vmap(one_lane)(
             lanes, enc_starts, enc_ends, hist_valids)
         # combine this shard's lane checksums sequentially (few lanes/shard)
-        def fold(carry, x):
-            a, _ = carry
+        def fold(a, x):
             ad, ln = x
-            return (_adler_combine_pair(a, ad, ln.astype(U32)),
-                    jnp.uint32(0)), None
-        (shard_adler, _), _ = jax.lax.scan(
-            fold, (jnp.uint32(1), jnp.uint32(0)), (adlers, lens))
+            return _adler_combine_pair(a, ad, ln.astype(U32)).astype(jnp.uint32), None
+        init = jnp.zeros((), jnp.uint32) + 1
+        try:  # inside shard_map the carry must be marked device-varying
+            init = jax.lax.pcast(init, (axis,), to="varying")
+        except (AttributeError, TypeError):
+            pass
+        shard_adler, _ = jax.lax.scan(fold, init, (adlers, lens))
         # collectives over ICI: length exchange for the ordered ragged gather
         all_bits = jax.lax.all_gather(totals, axis, tiled=True)
         shard_adler_all = jax.lax.all_gather(shard_adler[None], axis, tiled=True)
         return packed, totals, all_bits, shard_adler_all
 
-    smapped = shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(), P()),
-    )
+    try:
+        smapped = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(), P()),
+            check_vma=False,
+        )
+    except TypeError:  # older jax without check_vma
+        smapped = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(), P()),
+        )
     return jax.jit(smapped)
 
 

@@ -112,11 +112,13 @@ def _rle_matches(lane: np.ndarray, es: int, ee: int, cfg: MatchConfig):
     """Distance-1 run matching (deflate_rle.c / compare256_rle analog)."""
     N = lane.shape[0]
     pos = np.arange(N, dtype=np.int64)
-    # r[i] = consecutive equal byte-pairs starting at pair (i, i+1)
+    # r[i] = consecutive equal byte-pairs starting at pair (i, i+1),
+    # via distance to the next inequality (reverse running minimum)
     eq = lane[1:] == lane[:-1]
+    falses = np.where(~eq, np.arange(eq.size), eq.size)
+    next_false = np.minimum.accumulate(falses[::-1])[::-1]
     r = np.zeros(N + 1, dtype=np.int64)
-    for i in range(N - 2, -1, -1):  # suffix scan; vectorize if ever hot
-        r[i] = r[i + 1] + 1 if eq[i] else 0
+    r[:eq.size] = next_false - np.arange(eq.size)
     # match at i (dist 1) needs lane[i]==lane[i-1]; then len = 1 + r[i]
     prev_eq = np.concatenate([[False], eq])
     best_len = np.where(prev_eq, 1 + r[:N], 0)
