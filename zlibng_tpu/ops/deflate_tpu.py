@@ -56,14 +56,20 @@ U32 = jnp.uint32
 # ---------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("chain", "lazy", "max_lazy", "nice"))
 def _stage1(lanes, enc_ends, hist_valids, chain, lazy, max_lazy, nice=258):
-    def one(lane, ee, hv):
-        out = lz77_lane(lane, jnp.int32(LANE_HIST), ee, hv, chain, lazy,
-                        max_lazy, nice)
-        lf, df = lane_freqs(out["lsym"], out["dsym"], out["sel"],
-                            out["tok_len"] > 0)
-        return out, lf, df
+    from .lz77_jax import finalize_tokens
+    from .parse_pallas import parse_select
 
-    outs, lfreqs, dfreqs = jax.vmap(one)(lanes, enc_ends, hist_valids)
+    def one(lane, ee, hv):
+        return lz77_lane(lane, jnp.int32(LANE_HIST), ee, hv, chain, lazy,
+                         max_lazy, nice)
+
+    core = jax.vmap(one)(lanes, enc_ends, hist_valids)
+    B = lanes.shape[0]
+    bounds = jnp.stack([jnp.full(B, LANE_HIST, jnp.int32), enc_ends], axis=1)
+    sel = parse_select(core["step"], bounds)
+    outs = finalize_tokens(lanes, core, sel)
+    lfreqs, dfreqs = jax.vmap(lane_freqs)(
+        outs["lsym"], outs["dsym"], outs["sel"], outs["tok_len"] > 0)
     return outs, lfreqs, dfreqs
 
 

@@ -171,7 +171,8 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
     blen = jnp.where(ok, blen, 0)
     best_dist = jnp.where(ok, best_dist, 0)
 
-    # ---- lazy parse: jump function + pointer-doubling reachability -----
+    # ---- lazy decision (deflate_slow 1-step rule); the serial chain walk
+    # itself runs in the parse kernel (ops/parse_pallas.py)
     if lazy:
         nxt_len = jnp.concatenate([blen[1:], jnp.zeros(1, I32)])
         defer = (nxt_len > blen) & (blen < max_lazy)
@@ -179,15 +180,17 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
         defer = jnp.zeros(N, bool)
     take = (blen >= MIN_MATCH) & ~defer
     step = jnp.where(take, blen, 1)
-    nxt = jnp.minimum(pos + step, enc_end)
+    return dict(step=step, take=take, blen=blen, bdist=best_dist)
 
-    sel = _reachable_jax(nxt, enc_start, enc_end)
 
-    tok_len = jnp.where(sel & take, blen, 0)
-    tok_dist = jnp.where(sel & take, best_dist, 0)
-    is_match = tok_len > 0
+def finalize_tokens(lanes: jnp.ndarray, outs: dict, sel: jnp.ndarray) -> dict:
+    """Batch-level token materialization once the parse mask is known.
+    lanes: (B, N) uint8; outs: lz77_lane dict fields (B, N); sel: (B, N)."""
+    is_match = sel & outs["take"] & (outs["blen"] > 0)
+    tok_len = jnp.where(is_match, outs["blen"], 0)
+    tok_dist = jnp.where(is_match, outs["bdist"], 0)
     lsym = jnp.where(is_match, length_code_arith(jnp.maximum(tok_len, 3)),
-                     data.astype(I32))
+                     lanes.astype(I32))
     dsym = jnp.where(is_match, dist_code_arith(jnp.maximum(tok_dist, 1)), 0)
     return dict(sel=sel, tok_len=tok_len, tok_dist=tok_dist,
                 lsym=lsym, dsym=dsym)

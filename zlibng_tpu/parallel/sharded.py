@@ -96,11 +96,12 @@ def make_compress_step(mesh: Mesh, lane_size: int, out_max: int,
     dt = jnp.asarray(FIXED_DIST_LENGTHS.astype(np.int32))
     dc = jnp.asarray(FIXED_DIST_CODES_REV.astype(np.int32))
 
-    def one_lane(lane, es, ee, hv):
-        out = lz77_lane(lane, es, ee, hv, chain, lazy, max_lazy)
+    from ..ops.lz77_jax import finalize_tokens
+    from ..ops.parse_pallas import parse_select
+
+    def emit_lane(lane, es, ee, tok_len, tok_dist, lsym, dsym, sel):
         lo, hi, nb = render_body_tokens(
-            out["tok_len"], out["tok_dist"], out["lsym"], out["dsym"],
-            out["sel"], lt, lc, dt, dc)
+            tok_len, tok_dist, lsym, dsym, sel, lt, lc, dt, dc)
         # static block header (BFINAL=0 within shards; finalization is a
         # host-side concern at assembly) + EOB
         hdr_lo = jnp.array([2], U32)   # btype=1 (static): bits 0b10<<1 | 0
@@ -116,8 +117,15 @@ def make_compress_step(mesh: Mesh, lane_size: int, out_max: int,
         return packed, total, adler, (ee - es)
 
     def shard_fn(lanes, enc_starts, enc_ends, hist_valids):
-        packed, totals, adlers, lens = jax.vmap(one_lane)(
-            lanes, enc_starts, enc_ends, hist_valids)
+        core = jax.vmap(lambda l, es, ee, hv: lz77_lane(
+            l, es, ee, hv, chain, lazy, max_lazy))(
+                lanes, enc_starts, enc_ends, hist_valids)
+        bounds = jnp.stack([enc_starts, enc_ends], axis=1)
+        sel = parse_select(core["step"], bounds)
+        outs = finalize_tokens(lanes, core, sel)
+        packed, totals, adlers, lens = jax.vmap(emit_lane)(
+            lanes, enc_starts, enc_ends, outs["tok_len"], outs["tok_dist"],
+            outs["lsym"], outs["dsym"], outs["sel"])
         # combine this shard's lane checksums sequentially (few lanes/shard)
         def fold(a, x):
             ad, ln = x
