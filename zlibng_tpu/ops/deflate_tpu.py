@@ -45,7 +45,7 @@ LANE_BLOCK = 1 << 16             # 65536 payload bytes per lane
 LANE = LANE_HIST + LANE_BLOCK
 HMAX = 704                       # max dynamic-header tokens (worst-case RLE)
 OUT_MAX = 1 << 17                # per-lane packed output bound (bytes)
-MAX_LANES = 16                   # lanes per device call (1 MiB payload)
+MAX_LANES = 32                   # lanes per device call (2 MiB payload)
 
 I32 = jnp.int32
 U32 = jnp.uint32

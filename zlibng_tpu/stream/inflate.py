@@ -83,6 +83,28 @@ def decompress(data: bytes, wbits: int = 15,
     return decompress_member(data, wbits=wbits, dictionary=dictionary).data
 
 
+def inflate_back(in_fn, out_fn, window: bytes | None = None) -> None:
+    """zng_inflateBack analog (reference infback.c:34-513): raw-deflate
+    callback-pull decoding. `in_fn()` returns the next input chunk (b'' at
+    end); `out_fn(bytes)` consumes output; `window` optionally pre-seeds
+    history (the user-supplied-window analog)."""
+    inf = RawInflater(dictionary=window)
+    emitted = inf.dict_len
+    while True:
+        chunk = in_fn()
+        done = not chunk
+        if chunk:
+            inf.feed(chunk)
+        r = inf.run(finish=done)
+        if len(inf.out) > emitted:
+            out_fn(bytes(inf.out[emitted:]))
+            emitted = len(inf.out)
+        if r == "stream_end":
+            return
+        if done:
+            raise InflateError("unexpected end of stream")
+
+
 def gzip_decompress(data: bytes) -> bytes:
     """Decompress all members of a (possibly multi-member) gzip stream."""
     out = bytearray()
