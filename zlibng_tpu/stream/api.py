@@ -329,6 +329,7 @@ class Inflate:
         self._dictid = None
         self._finished = False
         self._trailer = bytearray()
+        self._validate = True
         self._setup_mode()
 
     def _setup_mode(self):
@@ -431,6 +432,9 @@ class Inflate:
             return
         t = rest[:need]
         self.unused_data = rest[need:]
+        if not self._validate:
+            self._finished = True
+            return
         if self._mode == "gzip":
             import struct
             crc_exp, isize = struct.unpack("<II", t)
@@ -490,6 +494,18 @@ class Inflate:
         """inflateReset / inflateReset2."""
         w = self.wbits if wbits is None else wbits
         self.__init__(w, self._dict)
+
+    def validate(self, check: bool) -> None:
+        """inflateValidate (inflate.c:1430 analog): toggle wrapper checksum
+        verification (used by gzread when the trailer was consumed
+        separately)."""
+        self._validate = bool(check)
+
+    def undermine(self, subvert: bool) -> None:
+        """inflateUndermine: the reference only honors this when built with
+        INFLATE_ALLOW_INVALID_DISTANCE; this implementation always validates
+        distances, matching the default build (returns unsupported)."""
+        raise StreamError("invalid distance checking cannot be disabled")
 
     def prime(self, bits: int, value: int) -> None:
         """inflatePrime: push bits into the input bit buffer."""
