@@ -1,0 +1,502 @@
+"""TPU batch DEFLATE decoder — the device inflate path.
+
+TPU-first re-design of the reference's inflate hot loop
+(inffast_tpl.h:53-298 + chunkset_tpl.h): instead of a byte-serial state
+machine, decoding is two array phases (the design sketched in SURVEY §7
+Stage 1, after the massively-parallel-decompression literature):
+
+  phase A — token resolution. For EVERY bit position of a Huffman block,
+      speculatively decode one token with a flat 15-bit LUT (the flattened
+      analog of the reference's two-level root/sub tables, see
+      huffman/decode_tables.py): a handful of vectorized gathers yields
+      (symbol, length, dist, bits-consumed) per position. The true token
+      starts are the orbit of the block's first bit under
+      p -> p + consumed(p) — exactly the chain walk the encoder already
+      has as a Pallas kernel (ops/parse_pallas.py): on TPU the walk is a
+      VMEM scalar loop, on CPU a pointer-doubling scan. EOB/invalid
+      positions get a giant step so the walk self-terminates; the EOB bit
+      position falls out of the selected set (this is how the device
+      discovers block boundaries without a host symbol loop).
+
+  phase B — LZ77 reconstruction. Tokens (literal / match / stored-run)
+      expand to per-output-byte source pointers: byte j of a match copies
+      from absolute position j - dist. Pointer-doubling (log2(n) rounds of
+      ptr = ptr[ptr]) resolves every chain of overlapping copies to a
+      literal/stored/dictionary root, then ONE gather materializes the
+      output. This replaces the reference's CHUNKCOPY/CHUNKMEMSET
+      overlap-tolerant serial copies (chunkset_tpl.h:23-283).
+
+Host keeps only the format-tiny serial parts: block headers and dynamic
+table construction (inftrees analog, µs per block) and stored-block
+bookkeeping. Any stream the batch path cannot or should not handle
+(corruption — for exact zlib error messages —, pathological block sizes)
+falls back to the serial conformance decoder (stream/inflate_serial.py),
+so behavior is always format-exact.
+
+Reference parity notes: strict distance validation ("invalid distance too
+far back", inffast_tpl.h:198-227) is enforced in phase B against the
+dictionary/window; invalid length/dist symbols (286/287, 30/31) and
+invalid LUT entries are flagged in phase A (inflate.c:940-1107 error
+cases).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..errors import DataError as InflateError
+from ..format.constants import DIST_BASE, LENGTH_BASE
+from ..stream.inflate_serial import (
+    _FIXED_DIST_LUT, _FIXED_LIT_LUT, _S_BLOCK_HEADER, _S_HUFF, _S_STORED,
+    NEED_INPUT, RawInflater,
+)
+from .parse_pallas import parse_select
+
+I32 = jnp.int32
+
+# phase A token kinds
+K_LIT = 0
+K_MATCH = 1
+K_EOB = 2
+K_INVALID = 3
+# phase B token kinds (host-side accumulation)
+B_LIT = 0
+B_MATCH = 1
+B_STORED = 2
+
+_LB_J = jnp.asarray(LENGTH_BASE.astype(np.int32))
+_DB_J = jnp.asarray(DIST_BASE.astype(np.int32))
+
+_FIXED_LIT_NP = np.array(_FIXED_LIT_LUT, dtype=np.int32)
+_FIXED_DIST_NP = np.array(_FIXED_DIST_LUT, dtype=np.int32)
+
+# lane size buckets (compressed bytes per lane). A typical dynamic block is
+# well under 64 KiB compressed; monster blocks fall back to serial.
+_CB_BUCKETS = (1 << 11, 1 << 14, 1 << 17)
+_DPAD = 1 << 15          # dictionary/window prefix region in phase B
+_BIG = 1 << 26           # chain-terminating step
+
+
+class _Fallback(Exception):
+    """Internal: this stream needs the serial conformance path."""
+
+
+# ---------------------------------------------------------------------------
+# phase A — batched speculative token resolution
+# ---------------------------------------------------------------------------
+@jax.jit
+def _phase_a(lane_bytes, lit_luts, dist_luts, start_bits):
+    """lane_bytes (B, CB) u8; luts (B, 32768) i32 packed sym<<4|nbits (<0
+    invalid); start_bits (B,) i32 bit offset of the first symbol.
+    Returns compacted per-lane token arrays + counts."""
+    B, CB = lane_bytes.shape
+    N = CB * 8
+    NP_ = N + 64
+    T_CAP = N // 4
+
+    # bits, LSB-first, padded so every lookahead index is in range
+    bits = ((lane_bytes[:, :, None].astype(I32)
+             >> jnp.arange(8, dtype=I32)[None, None, :]) & 1).reshape(B, N)
+    bitsp = jnp.pad(bits, ((0, 0), (0, 80)))
+    # peek[p] = next 16 bits at p (LSB-first) — 16 shifted adds, no gathers
+    peek = jnp.zeros((B, NP_), I32)
+    for i in range(16):
+        peek = peek + (bitsp[:, i:i + NP_] << i)
+
+    pos = jnp.arange(N, dtype=I32)[None, :]
+
+    # literal/length decode at every position (one LUT gather)
+    ent = jnp.take_along_axis(lit_luts, peek[:, :N] & 0x7FFF, axis=1)
+    nb = ent & 15
+    sym = ent >> 4
+    invalid = ent < 0
+    is_eob = sym == 256
+    is_len = sym > 256
+    invalid = invalid | (sym > 285)
+
+    # length base/extra: sym 257..285 -> LENGTH_BASE/extra-bit count
+    i_l = jnp.clip(sym - 257, 0, 28)
+    e_l = jnp.where(i_l >= 28, 0, jnp.clip((i_l - 4) >> 2, 0, 5))
+    q = jnp.minimum(pos + nb, NP_ - 1)
+    lext = jnp.take_along_axis(peek, q, axis=1) & ((1 << e_l) - 1)
+    length = jnp.take(_LB_J, i_l) + lext
+
+    # distance decode at the post-length position (dynamic-offset gathers)
+    dq = jnp.minimum(q + e_l, NP_ - 1)
+    dpk = jnp.take_along_axis(peek, dq, axis=1) & 0x7FFF
+    dent = jnp.take_along_axis(dist_luts, dpk, axis=1)
+    dnb = dent & 15
+    dsym = dent >> 4
+    invalid = invalid | (is_len & ((dent < 0) | (dsym > 29)))
+    i_d = jnp.clip(dsym, 0, 29)
+    e_d = jnp.clip((i_d - 2) >> 1, 0, 13)
+    dq2 = jnp.minimum(dq + dnb, NP_ - 1)
+    dext = jnp.take_along_axis(peek, dq2, axis=1) & ((1 << e_d) - 1)
+    dist = jnp.take(_DB_J, i_d) + dext
+
+    consumed = jnp.where(is_len, nb + e_l + dnb + e_d, nb)
+    step = jnp.where(invalid | is_eob, _BIG, jnp.maximum(consumed, 1))
+
+    # chain walk from the first symbol bit: Pallas on TPU, doubling on CPU
+    bounds = jnp.stack([start_bits, jnp.full(B, N, I32)], axis=1)
+    sel = parse_select(step, bounds)
+
+    kind = jnp.where(invalid, K_INVALID,
+                     jnp.where(is_eob, K_EOB,
+                               jnp.where(is_len, K_MATCH, K_LIT)))
+    litlen = jnp.where(is_len, length, sym)
+    tend = pos + consumed
+
+    # in-order compaction: rank-scatter into fixed-size token arrays
+    rank = jnp.cumsum(sel, axis=1) - 1
+    sidx = jnp.where(sel, rank, T_CAP)
+
+    def compact(v, idx):
+        return jnp.zeros(T_CAP, v.dtype).at[idx].set(v, mode='drop')
+
+    tok_kind = jax.vmap(compact)(kind, sidx)
+    tok_litlen = jax.vmap(compact)(litlen, sidx)
+    tok_dist = jax.vmap(compact)(dist, sidx)
+    tok_end = jax.vmap(compact)(tend, sidx)
+    ntok = sel.sum(axis=1)
+    return tok_kind, tok_litlen, tok_dist, tok_end, ntok
+
+
+# ---------------------------------------------------------------------------
+# phase B — LZ77 reconstruction via pointer doubling
+# ---------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def _phase_b(kind, aux, olen, comp, dictv, dict_len, wsize, out_cap):
+    """kind/aux/olen (T,) i32 tokens (B_LIT value / B_MATCH dist /
+    B_STORED comp-byte-offset; olen = emitted bytes). comp (C,) u8 padded
+    compressed bytes (for stored runs); dictv (32768,) u8 right-aligned
+    dictionary. Returns (out (out_cap,) u8, bad_dist flag)."""
+    T = kind.shape[0]
+    real = olen > 0
+    csum = jnp.cumsum(olen)
+    starts = _DPAD + csum - olen                     # exclusive prefix sum
+    total = _DPAD + csum[-1]
+
+    # per-output-byte token id: scatter-add block starts, prefix-sum
+    inc = jnp.zeros(out_cap, I32).at[
+        jnp.where(real, starts, out_cap)].add(1, mode='drop')
+    tid = jnp.cumsum(inc) - 1
+    tidc = jnp.clip(tid, 0, T - 1)
+    j = jnp.arange(out_cap, dtype=I32)
+    k = jnp.take(kind, tidc)
+    a = jnp.take(aux, tidc)
+    st = jnp.take(starts, tidc)
+    in_data = (j >= _DPAD) & (tid >= 0) & (j < total)
+    ofs = j - st
+
+    is_m = in_data & (k == B_MATCH)
+    src = j - a
+    bad = is_m & ((src < _DPAD - dict_len) | (a > wsize))
+
+    v_sto = jnp.take(comp, jnp.clip(a + ofs, 0, comp.shape[0] - 1)).astype(I32)
+    # dictv is right-aligned in a 32768-byte buffer and _DPAD == 32768, so
+    # output position j < _DPAD maps one-to-one onto dictv[j]
+    v_dict = jnp.take(dictv, jnp.clip(j, 0, dictv.shape[0] - 1)).astype(I32)
+    val = jnp.where(j < _DPAD, v_dict, jnp.where(k == B_LIT, a, v_sto))
+
+    ptr = jnp.where(is_m, jnp.clip(src, 0, out_cap - 1), j)
+    for _ in range(max(1, int(np.ceil(np.log2(out_cap))))):
+        ptr = jnp.take(ptr, ptr)
+    out = jnp.take(val, ptr).astype(jnp.uint8)
+    return out, bad.any()
+
+
+# ---------------------------------------------------------------------------
+# host orchestration
+# ---------------------------------------------------------------------------
+class _Cursor:
+    """Per-segment decode state for the wave engine."""
+
+    __slots__ = ("pos", "end_bit", "toks", "done", "bucket", "total_out",
+                 "final")
+
+    def __init__(self, start_bit: int, end_bit: int | None):
+        self.pos = start_bit         # absolute bit position in comp
+        self.end_bit = end_bit       # segment bound (full-flush boundary)
+        self.toks = []               # list of (kind, aux, olen) np arrays
+        self.done = False
+        self.bucket = 0
+        self.total_out = 0
+        self.final = False           # current block's BFINAL
+
+
+def _parse_header(inf: RawInflater, cur: _Cursor):
+    """Parse one block header at cur.pos using the shared host parser.
+    Returns ('stored', start_byte, length) | ('huff', lit_np, dist_np,
+    sym_start_bit). Raises InflateError exactly as inflate does."""
+    inf.bitpos = cur.pos
+    inf.state = _S_BLOCK_HEADER
+    r = inf._read_block_header(finish=True)
+    if r is NEED_INPUT:
+        raise InflateError("unexpected end of stream")
+    cur.final = inf.final_block
+    if inf.state == _S_STORED:
+        start_byte = inf.bitpos >> 3
+        length = inf.stored_remaining
+        if start_byte + length > len(inf.data):
+            raise InflateError("unexpected end of stream")
+        cur.pos = inf.bitpos + 8 * length
+        return ("stored", start_byte, length)
+    assert inf.state == _S_HUFF
+    lit = (np.array(inf.lit_lut, dtype=np.int32)
+           if inf.lit_lut is not _FIXED_LIT_LUT else _FIXED_LIT_NP)
+    dist = (np.array(inf.dist_lut, dtype=np.int32)
+            if inf.dist_lut is not _FIXED_DIST_LUT else _FIXED_DIST_NP)
+    return ("huff", lit, dist, inf.bitpos)
+
+
+def _advance_host(inf: RawInflater, cur: _Cursor):
+    """Advance through stored blocks/headers until a Huffman block needs the
+    device (returns its header tuple) or the segment is done (returns None)."""
+    while not cur.done:
+        if cur.end_bit is not None and cur.pos >= cur.end_bit:
+            cur.done = True
+            break
+        hdr = _parse_header(inf, cur)
+        if hdr[0] == "stored":
+            _, start_byte, length = hdr
+            if length:
+                cur.toks.append((np.int32([B_STORED]), np.int32([start_byte]),
+                                 np.int32([length])))
+                cur.total_out += length
+            if cur.final:
+                cur.done = True
+            continue
+        return hdr
+    return None
+
+
+def _accept_tokens(cur: _Cursor, kind, litlen, dist, end, ntok,
+                   base_bit: int, real_bits: int) -> bool:
+    """Interpret one lane's phase-A output. Returns True if the block was
+    fully decoded (cursor advanced), False to retry with a bigger lane."""
+    n = int(ntok)
+    t_cap = kind.shape[0]
+    if n >= t_cap:
+        return False                     # token-array saturation: go bigger
+    kinds = kind[:n]
+    specials = np.nonzero(kinds >= K_EOB)[0]
+    if specials.size == 0:
+        if real_bits < 4 * t_cap:        # lane already covers stream end
+            raise _Fallback                # no EOB before end: corrupt
+        return False                     # block larger than lane: go bigger
+    s = int(specials[0])
+    if kinds[s] == K_INVALID:
+        raise _Fallback                    # exact error via serial re-run
+    eob_end = int(end[s])
+    if eob_end > real_bits:
+        raise _Fallback                    # EOB read past true end: truncated
+    if s:
+        k = kinds[:s].copy()
+        ll = litlen[:s].astype(np.int32)
+        dd = dist[:s].astype(np.int32)
+        aux = np.where(k == K_LIT, ll, dd)
+        olen = np.where(k == K_LIT, 1, ll)
+        cur.toks.append((k, aux, olen))
+        cur.total_out += int(olen.sum())
+    cur.pos = base_bit + eob_end
+    if cur.final:
+        cur.done = True
+    return True
+
+
+def _decode_segments(comp: bytes, seg_bounds, dictionary: bytes | None,
+                     wsize: int):
+    """Decode independent raw-deflate segments of `comp`. seg_bounds is a
+    list of (start_bit, end_bit | None); a segment ends at its final block
+    or at end_bit (a full-flush boundary — such segments have no final
+    block). The dictionary applies to the first segment only (full-flush
+    resets history). Returns (outputs, end_bits)."""
+    comp_np = np.frombuffer(comp, np.uint8)
+    parser = RawInflater()
+    parser.feed(comp)
+    cursors = [_Cursor(s, e) for s, e in seg_bounds]
+    max_bucket = len(_CB_BUCKETS) - 1
+
+    while True:
+        # host: headers + stored blocks; collect lanes needing the device
+        pend = []
+        for cur in cursors:
+            if cur.done:
+                continue
+            hdr = _advance_host(parser, cur)
+            if hdr is not None:
+                pend.append((cur, hdr))
+        if not pend:
+            break
+
+        # batch by bucket size
+        by_bucket = {}
+        for cur, hdr in pend:
+            by_bucket.setdefault(cur.bucket, []).append((cur, hdr))
+        for bucket, group in by_bucket.items():
+            cb = _CB_BUCKETS[bucket]
+            B = len(group)
+            Bpad = 1 << (B - 1).bit_length()
+            lanes = np.zeros((Bpad, cb), np.uint8)
+            lits = np.zeros((Bpad, 1 << 15), np.int32)
+            dists = np.zeros((Bpad, 1 << 15), np.int32)
+            starts = np.zeros(Bpad, np.int32)
+            meta = []
+            for i, (cur, (_, lit, dist, sym_bit)) in enumerate(group):
+                base_byte = sym_bit >> 3
+                chunk = comp_np[base_byte:base_byte + cb]
+                lanes[i, :chunk.size] = chunk
+                lits[i] = lit
+                dists[i] = dist
+                starts[i] = sym_bit - 8 * base_byte
+                meta.append((cur, 8 * base_byte, 8 * chunk.size))
+            tk, tl, td, te, nt = _phase_a(
+                jnp.asarray(lanes), jnp.asarray(lits), jnp.asarray(dists),
+                jnp.asarray(starts))
+            tk, tl, td, te, nt = (np.asarray(tk), np.asarray(tl),
+                                  np.asarray(td), np.asarray(te),
+                                  np.asarray(nt))
+            for i, (cur, base_bit, real_bits) in enumerate(meta):
+                ok = _accept_tokens(cur, tk[i], tl[i], td[i], te[i], nt[i],
+                                    base_bit, real_bits)
+                if not ok:
+                    if cur.bucket >= max_bucket:
+                        raise _Fallback      # pathological block size
+                    cur.bucket += 1
+
+    # phase B per segment
+    dict_bytes = (dictionary or b"")[-32768:]
+    dictv = np.zeros(1 << 15, np.uint8)
+    if dict_bytes:
+        dictv[-len(dict_bytes):] = np.frombuffer(dict_bytes, np.uint8)
+    comp_cap = max(1024, 1 << (len(comp) - 1).bit_length()) if comp else 1024
+    comp_pad = np.zeros(comp_cap, np.uint8)
+    comp_pad[:len(comp)] = comp_np
+    dictv_j = jnp.asarray(dictv)
+    comp_j = jnp.asarray(comp_pad)
+
+    outputs, end_bits = [], []
+    for si, cur in enumerate(cursors):
+        if not cur.toks:
+            outputs.append(b"")
+            end_bits.append(cur.pos)
+            continue
+        kind = np.concatenate([t[0] for t in cur.toks])
+        aux = np.concatenate([t[1] for t in cur.toks])
+        olen = np.concatenate([t[2] for t in cur.toks])
+        t_cap = max(1 << 10, 1 << (len(kind) - 1).bit_length())
+        pad = t_cap - len(kind)
+        if pad:
+            z = np.zeros(pad, np.int32)
+            kind, aux, olen = (np.concatenate([kind, z]),
+                               np.concatenate([aux, z]),
+                               np.concatenate([olen, z]))
+        out_cap = 1 << int(np.ceil(np.log2(_DPAD + cur.total_out + 1)))
+        dlen = len(dict_bytes) if si == 0 else 0
+        out, bad = _phase_b(jnp.asarray(kind), jnp.asarray(aux),
+                            jnp.asarray(olen), comp_j, dictv_j,
+                            np.int32(dlen), np.int32(wsize), out_cap)
+        if bool(bad):
+            raise _Fallback                  # exact message via serial path
+        outputs.append(np.asarray(out)[_DPAD:_DPAD + cur.total_out].tobytes())
+        end_bits.append(cur.pos)
+    return outputs, end_bits
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
+def inflate_raw_tpu(data: bytes, wbits: int = 15,
+                    dictionary: bytes | None = None):
+    """One-shot raw inflate on the device path. Returns (out, bits_consumed).
+    Falls back to the serial conformance decoder on any anomaly so errors
+    and messages are always format-exact (inflate.c error strings)."""
+    try:
+        outs, ends = _decode_segments(bytes(data), [(0, None)], dictionary,
+                                      1 << wbits)
+        return outs[0], ends[0]
+    except (_Fallback, InflateError):
+        from ..stream.inflate_serial import inflate_raw
+        return inflate_raw(bytes(data), wbits=wbits, dictionary=dictionary)
+
+
+def decompress_tpu(data: bytes, wbits: int = 15,
+                   dictionary: bytes | None = None) -> bytes:
+    """zlib.decompress-compatible one-shot on the device path: handles
+    zlib/gzip/raw/auto-detect framing like stream/inflate.decompress but
+    routes the DEFLATE payload through the batch decoder."""
+    import struct
+
+    from ..checksum.adler32 import adler32
+    from ..checksum.crc32 import crc32
+    from ..format import headers as H
+
+    data = bytes(data)
+    if wbits < 0:
+        out, _ = inflate_raw_tpu(data, wbits=-wbits, dictionary=dictionary)
+        return out
+
+    if wbits >= 32:
+        from ..format.constants import GZIP_MAGIC
+        wbits = (wbits & 15) + (16 if data[:2] == GZIP_MAGIC else 0)
+
+    if wbits >= 16:
+        _, pos = H.parse_gzip_header(data)
+        out, bits = inflate_raw_tpu(data[pos:], wbits=(wbits - 16) or 15)
+        pos += (bits + 7) // 8
+        if len(data) < pos + 8:
+            raise InflateError("unexpected end of stream")
+        expect_crc, expect_isize = struct.unpack("<II", data[pos:pos + 8])
+        if crc32(out) != expect_crc:
+            raise InflateError("incorrect data check")
+        if expect_isize != (len(out) & 0xFFFFFFFF):
+            raise InflateError("incorrect length check")
+        return out
+
+    hwbits, has_dict, dictid, pos = H.parse_zlib_header(data)
+    if has_dict:
+        if dictionary is None:
+            raise InflateError("preset dictionary needed")
+        if adler32(dictionary) != dictid:
+            raise InflateError("incorrect dictionary")
+    out, bits = inflate_raw_tpu(data[pos:], wbits=max(hwbits, 8),
+                                dictionary=dictionary if has_dict else None)
+    pos += (bits + 7) // 8
+    if len(data) < pos + 4:
+        raise InflateError("unexpected end of stream")
+    if adler32(out) != struct.unpack(">I", data[pos:pos + 4])[0]:
+        raise InflateError("incorrect data check")
+    return out
+
+
+def decompress_segments_tpu(blob: bytes, start_bytes) -> list[bytes]:
+    """Decode independent full-flush segments of a raw stream in one
+    batched device pass (segments advance in lockstep waves; each wave is
+    one phase-A dispatch over all segments' current blocks) — the
+    parallel-decode engine behind parallel/index.decompress_indexed_tpu.
+    start_bytes[i] .. start_bytes[i+1] (or stream end) bounds segment i;
+    non-final segments end at the full-flush marker, not a final block."""
+    blob = bytes(blob)
+    starts = list(start_bytes)
+    bounds = []
+    for i, s in enumerate(starts):
+        end = 8 * starts[i + 1] if i + 1 < len(starts) else None
+        bounds.append((8 * s, end))
+    try:
+        outs, _ = _decode_segments(blob, bounds, None, 1 << 15)
+        return outs
+    except (_Fallback, InflateError):
+        from ..stream.inflate_serial import RawInflater
+        outs = []
+        ends = starts[1:] + [len(blob)]
+        for i in range(len(starts)):
+            inf = RawInflater()
+            inf.feed(blob[starts[i]:ends[i]])
+            inf.run(finish=(i == len(starts) - 1))
+            outs.append(inf.output())
+        return outs

@@ -93,6 +93,25 @@ def decompress_indexed(blob: bytes, index: StreamIndex) -> bytes:
     return bytes(out)
 
 
+def decompress_indexed_tpu(blob: bytes, index: StreamIndex) -> bytes:
+    """Indexed parallel decode on the device path: all segments advance in
+    lockstep waves through ops/inflate_tpu's batched phase-A dispatches
+    (one device call decodes one block of EVERY segment), then per-segment
+    LZ77 resolution. The TPU analog of pigz's thread-per-segment decode."""
+    from ..ops.inflate_tpu import decompress_segments_tpu
+
+    n = len(index.comp_offsets) - 1
+    outs = decompress_segments_tpu(blob, index.comp_offsets[:-1])
+    parts = []
+    for i in range(n):
+        o0, o1 = index.out_offsets[i], index.out_offsets[i + 1]
+        got = outs[i][: o1 - o0]
+        if len(got) != o1 - o0:
+            raise DataError("index/stream mismatch")
+        parts.append(got)
+    return b"".join(parts)
+
+
 def find_sync_candidates(blob: bytes, start: int = 0) -> list:
     """Speculative boundary discovery: every 00 00 FF FF occurrence is a
     *candidate* full-flush point (inflateSync semantics — false positives
