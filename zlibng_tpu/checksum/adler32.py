@@ -17,12 +17,21 @@ _BASE = ADLER_BASE
 
 def adler32(data, value: int = 1) -> int:
     """Adler-32 of `data` (bytes or uint8 ndarray), seeded with `value`."""
+    try:                      # compiled host runtime (native/zng_host.c)
+        from .. import native
+        if native.available():
+            return native.adler32(data, value)
+    except Exception:
+        pass
     buf = np.frombuffer(memoryview(data), dtype=np.uint8) if not isinstance(
         data, np.ndarray) else data.astype(np.uint8, copy=False)
     s1 = np.uint64(value & 0xFFFF)
     s2 = np.uint64((value >> 16) & 0xFFFF)
     n = buf.size
     if n == 0:
+        # zlib reduces the seed parts even for empty input
+        s1 %= np.uint64(_BASE)
+        s2 %= np.uint64(_BASE)
         return int((s2 << np.uint64(16)) | s1)
     # Blocked so the weighted sum stays in uint64 comfortably; NMAX blocking
     # matches the reference's overflow bound (adler32_p.h:11-13).

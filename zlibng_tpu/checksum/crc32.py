@@ -19,6 +19,12 @@ from ..format.constants import CRC_POLY, CRC_TABLE, CRC_TABLES
 
 def crc32(data, value: int = 0) -> int:
     """CRC-32 of `data`, seeded with `value` (matches zlib crc32())."""
+    try:                      # compiled host runtime (native/zng_host.c)
+        from .. import native
+        if native.available():
+            return native.crc32(data, value)
+    except Exception:
+        pass
     buf = np.frombuffer(memoryview(data), dtype=np.uint8) if not isinstance(
         data, np.ndarray) else data.astype(np.uint8, copy=False)
     crc = np.uint32(value) ^ np.uint32(0xFFFFFFFF)

@@ -25,6 +25,54 @@ class InvalidCodeError(ValueError):
     """Raised for oversubscribed/unacceptably-incomplete code length sets."""
 
 
+def validate_lengths(lengths: np.ndarray, kind: int) -> int:
+    """Kraft accounting with inftrees.c acceptance rules (oversubscribed /
+    incomplete, inftrees.c:98-130). Returns the number of used symbols.
+    Raises InvalidCodeError exactly where the reference rejects."""
+    used = lengths > 0
+    nsyms_used = int(used.sum())
+    if nsyms_used == 0:
+        return 0
+    max_used = int(lengths[used].max())
+    bl_count = np.bincount(lengths[used], minlength=16)
+    left = 1
+    for bits in range(1, 16):
+        left <<= 1
+        left -= int(bl_count[bits]) if bits < len(bl_count) else 0
+        if left < 0:
+            raise InvalidCodeError("oversubscribed code length set")
+    if left > 0 and (kind == CODES or max_used != 1):
+        raise InvalidCodeError("incomplete code length set")
+    return nsyms_used
+
+
+def build_packed_lut(lengths: np.ndarray, kind: int,
+                     max_len: int = 15) -> np.ndarray:
+    """Flat packed decode LUT: int32 entries sym<<4|nbits, invalid < 0.
+    Same validation and layout as build_decode_lut, but the fill runs in
+    the compiled host runtime (native/zng_host.c zng_fill_lut) when
+    available — the table build is the per-block serial cost of decode."""
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    if validate_lengths(lengths, kind) == 0:
+        # error-forcing table, like inftrees.c's max==0 path
+        return np.full(1 << max(max_len, 1), -16, dtype=np.int32)
+    max_len = max(max_len, int(lengths.max()))
+    try:
+        from .. import native
+        lib = native.lib()
+    except Exception:
+        lib = None
+    if lib is not None:
+        import ctypes
+        out = np.empty(1 << max_len, dtype=np.int32)
+        lib.zng_fill_lut(ctypes.c_void_p(lengths.ctypes.data),
+                         lengths.size, max_len,
+                         ctypes.c_void_p(out.ctypes.data))
+        return out
+    sym, bits = build_decode_lut(lengths, kind, max_len=max_len)
+    return ((sym.astype(np.int64) << 4) | bits).astype(np.int32)
+
+
 def build_decode_lut(lengths: np.ndarray, kind: int, max_len: int | None = None):
     """Build a flat LSB-first decode LUT from per-symbol code lengths.
 

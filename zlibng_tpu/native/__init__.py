@@ -1,0 +1,110 @@
+"""Native host-runtime bindings (ctypes over zng_host.c).
+
+The shared object is built on first use with the system C compiler and
+cached next to the source, keyed by a source hash — the framework's
+analog of the reference's compiled runtime (its whole library is C11).
+Everything has a pure-Python/numpy fallback: `lib()` returns None when no
+toolchain is available and callers must cope.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "zng_host.c")
+_lib = None          # None = not tried, False = unavailable, else CDLL
+
+
+def _build(so_path: str) -> bool:
+    for cc in (os.environ.get("CC"), "cc", "gcc", "clang", "g++"):
+        if not cc:
+            continue
+        cmd = [cc, "-O3", "-fPIC", "-shared", "-o", so_path, _SRC]
+        if cc.endswith("g++") or cc.endswith("clang++"):
+            cmd.insert(1, "-x")
+            cmd.insert(2, "c")
+        try:
+            r = subprocess.run(cmd, capture_output=True, timeout=120)
+        except (OSError, subprocess.TimeoutExpired):
+            continue
+        if r.returncode == 0 and os.path.exists(so_path):
+            return True
+    return False
+
+
+def lib():
+    """Return the loaded native library, building it if needed, or None."""
+    global _lib
+    if _lib is not None:
+        return _lib or None
+    try:
+        with open(_SRC, "rb") as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:16]
+        cache_dir = os.environ.get("ZLIBNG_TPU_NATIVE_DIR") or _HERE
+        if not os.access(cache_dir, os.W_OK):
+            cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
+                                     "zlibng_tpu")
+            os.makedirs(cache_dir, exist_ok=True)
+        so_path = os.path.join(cache_dir, f"_zng_host_{tag}.so")
+        if not os.path.exists(so_path) and not _build(so_path):
+            _lib = False
+            return None
+        lb = ctypes.CDLL(so_path)
+        lb.zng_adler32.restype = ctypes.c_uint32
+        lb.zng_adler32.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                                   ctypes.c_uint32]
+        lb.zng_crc32.restype = ctypes.c_uint32
+        lb.zng_crc32.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                                 ctypes.c_uint32]
+        lb.zng_fill_lut.restype = None
+        lb.zng_fill_lut.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                                    ctypes.c_int, ctypes.c_void_p]
+        lb.zng_decode_huff.restype = ctypes.c_long
+        lb.zng_decode_huff.argtypes = [
+            ctypes.c_void_p, ctypes.c_long,                 # data, nbytes
+            ctypes.POINTER(ctypes.c_long),                  # bitpos
+            ctypes.c_void_p, ctypes.c_void_p,               # lit/dist LUTs
+            ctypes.c_void_p, ctypes.c_long,                 # out, out_cap
+            ctypes.POINTER(ctypes.c_long),                  # out_len
+            ctypes.c_long, ctypes.c_int,                    # wsize, finish
+            ctypes.POINTER(ctypes.c_long),                  # ncodes
+        ]
+        _lib = lb
+        return lb
+    except Exception:
+        _lib = False
+        return None
+
+
+def available() -> bool:
+    return lib() is not None
+
+
+def _ptr(data):
+    """(address, nbytes, keepalive) for bytes/bytearray/memoryview/ndarray
+    without copying."""
+    if hasattr(data, "ctypes"):                       # numpy ndarray
+        return ctypes.c_void_p(data.ctypes.data), data.nbytes, data
+    mv = memoryview(data)
+    n = mv.nbytes
+    if mv.readonly:
+        addr = ctypes.cast(ctypes.c_char_p(bytes(mv) if not isinstance(
+            data, bytes) else data), ctypes.c_void_p)
+        return addr, n, data
+    c = (ctypes.c_char * n).from_buffer(mv)
+    return ctypes.cast(c, ctypes.c_void_p), n, (mv, c)
+
+
+def adler32(data, value: int = 1) -> int:
+    """Native adler32; caller guarantees `available()`."""
+    p, n, keep = _ptr(data)
+    return int(lib().zng_adler32(p, n, value & 0xFFFFFFFF))
+
+
+def crc32(data, value: int = 0) -> int:
+    """Native crc32; caller guarantees `available()`."""
+    p, n, keep = _ptr(data)
+    return int(lib().zng_crc32(p, n, value & 0xFFFFFFFF))

@@ -1,0 +1,227 @@
+/* zng_host.c — native host-runtime kernels for zlibng_tpu.
+ *
+ * The reference implements its entire runtime in C11; this module is the
+ * TPU framework's native host runtime: the format-serial paths that stay
+ * on the CPU (conformance inflate hot loop, framing checksums) while the
+ * device runs the batch codec. Built at first import by
+ * zlibng_tpu/native/__init__.py (ctypes bindings, pure-Python fallback).
+ *
+ * Components (reference parity cites):
+ *   zng_adler32     — adler32_p.h:54-73 NMAX-blocked accumulation
+ *   zng_crc32       — crc32_braid_c.c-style ILP (slicing-by-8 tables,
+ *                     generated at runtime like tools/makecrct.c)
+ *   zng_decode_huff — the inffast_tpl.h:53-298 analog over the flat
+ *                     15-bit LUT layout of huffman/decode_tables.py:
+ *                     64-bit refill, one table load per symbol,
+ *                     overlap-tolerant LZ77 copies
+ */
+#include <stdint.h>
+#include <string.h>
+
+#define ADLER_BASE 65521u
+#define ADLER_NMAX 5552
+
+uint32_t zng_adler32(const uint8_t *buf, long n, uint32_t adler) {
+    uint32_t s1 = adler & 0xFFFF;
+    uint32_t s2 = (adler >> 16) & 0xFFFF;
+    while (n > 0) {
+        long k = n < ADLER_NMAX ? n : ADLER_NMAX;
+        n -= k;
+        /* 16-way unroll: the scalar shape compilers auto-vectorize */
+        while (k >= 16) {
+            for (int i = 0; i < 16; i++) { s1 += buf[i]; s2 += s1; }
+            buf += 16; k -= 16;
+        }
+        while (k--) { s1 += *buf++; s2 += s1; }
+        s1 %= ADLER_BASE;
+        s2 %= ADLER_BASE;
+    }
+    /* zlib reduces the seed even for len==0 (adler32.c len<16 path) */
+    s1 %= ADLER_BASE;
+    s2 %= ADLER_BASE;
+    return (s2 << 16) | s1;
+}
+
+/* ---- CRC-32 (gzip polynomial 0xEDB88320), slicing-by-8 ---- */
+static uint32_t crc_tab[8][256];
+static int crc_ready = 0;
+
+void zng_crc_init(void) {
+    if (crc_ready) return;
+    for (uint32_t i = 0; i < 256; i++) {
+        uint32_t c = i;
+        for (int k = 0; k < 8; k++)
+            c = (c >> 1) ^ (0xEDB88320u & (0u - (c & 1)));
+        crc_tab[0][i] = c;
+    }
+    for (int t = 1; t < 8; t++)
+        for (uint32_t i = 0; i < 256; i++)
+            crc_tab[t][i] = (crc_tab[t - 1][i] >> 8)
+                            ^ crc_tab[0][crc_tab[t - 1][i] & 0xFF];
+    crc_ready = 1;
+}
+
+uint32_t zng_crc32(const uint8_t *buf, long n, uint32_t crc) {
+    if (!crc_ready) zng_crc_init();
+    crc = ~crc;
+    while (n && ((uintptr_t)buf & 7)) {
+        crc = (crc >> 8) ^ crc_tab[0][(crc ^ *buf++) & 0xFF];
+        n--;
+    }
+    while (n >= 8) {
+        uint64_t w;
+        memcpy(&w, buf, 8);
+        w ^= crc;
+        crc = crc_tab[7][w & 0xFF] ^ crc_tab[6][(w >> 8) & 0xFF]
+            ^ crc_tab[5][(w >> 16) & 0xFF] ^ crc_tab[4][(w >> 24) & 0xFF]
+            ^ crc_tab[3][(w >> 32) & 0xFF] ^ crc_tab[2][(w >> 40) & 0xFF]
+            ^ crc_tab[1][(w >> 48) & 0xFF] ^ crc_tab[0][(w >> 56) & 0xFF];
+        buf += 8; n -= 8;
+    }
+    while (n--) crc = (crc >> 8) ^ crc_tab[0][(crc ^ *buf++) & 0xFF];
+    return ~crc;
+}
+
+/* ---- canonical-code flat LUT fill (inftrees.c table build analog) ----
+ * lengths[nsyms] per-symbol code lengths (0 = unused); fills lut[2^max_len]
+ * with packed sym<<4|len entries (invalid peeks stay negative). The caller
+ * validates the length set first (Kraft accounting stays in Python, where
+ * the acceptance rules of inftrees.c:122-130 are implemented). */
+void zng_fill_lut(const int32_t *lengths, long nsyms, int max_len,
+                  int32_t *lut) {
+    long size = 1L << max_len;
+    for (long i = 0; i < size; i++) lut[i] = -16;
+    long bl_count[16] = {0};
+    for (long s = 0; s < nsyms; s++)
+        if (lengths[s] > 0) bl_count[lengths[s]]++;
+    uint32_t next_code[16];
+    uint32_t code = 0;
+    for (int b = 1; b <= 15; b++) {
+        code = (uint32_t)((code + bl_count[b - 1]) << 1);
+        next_code[b] = code;
+    }
+    for (long s = 0; s < nsyms; s++) {
+        int l = lengths[s];
+        if (l <= 0) continue;
+        uint32_t c = next_code[l]++;
+        uint32_t r = 0;
+        for (int k = 0; k < l; k++) r |= ((c >> k) & 1u) << (l - 1 - k);
+        long stride = 1L << l;
+        int32_t ent = (int32_t)((s << 4) | l);
+        for (long idx = (long)r; idx < size; idx += stride) lut[idx] = ent;
+    }
+}
+
+/* ---- Huffman-block decode hot loop ----
+ *
+ * data/nbytes: the whole input buffer; *bitpos_io: LSB-first bit cursor.
+ * lit_lut/dist_lut: 32768-entry int32 packed (sym<<4 | nbits), negative
+ *   = invalid peek (layout from huffman/decode_tables.build_decode_lut).
+ * out/out_cap/*out_len_io: output buffer holding all history produced so
+ *   far (including any dictionary prefix); LZ77 copies read from it.
+ * wsize: window size for the distance check (inflate strict semantics of
+ *   stream/inflate_serial.py).
+ *
+ * Returns: 0 EOB, 1 need more input (cursor at last symbol boundary),
+ *   2 output buffer full (caller grows and re-calls), -2 invalid
+ *   literal/length code, -3 invalid distance code, -4 invalid distance
+ *   too far back, -5 unexpected end of stream (finish set).
+ */
+static const uint16_t LB[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,35,
+                                43,51,59,67,83,99,115,131,163,195,227,258};
+static const uint8_t  LE[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,3,3,3,3,4,4,
+                                4,4,5,5,5,5,0};
+static const uint32_t DB[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,129,193,
+                                257,385,513,769,1025,1537,2049,3073,4097,
+                                6145,8193,12289,16385,24577};
+static const uint8_t  DE[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,7,7,8,8,9,9,
+                                10,10,11,11,12,12,13,13};
+
+long zng_decode_huff(const uint8_t *data, long nbytes, long *bitpos_io,
+                     const int32_t *lit_lut, const int32_t *dist_lut,
+                     uint8_t *out, long out_cap, long *out_len_io,
+                     long wsize, int finish, long *ncodes_io) {
+    long bp = *bitpos_io;
+    long olen = *out_len_io;
+    long ncodes = 0;
+    const long total_bits = nbytes * 8;
+    long ret;
+
+    for (;;) {
+        if (total_bits - bp < 48 && !finish) { ret = 1; break; }
+        /* 56-bit refill (inffast_tpl.h:142-147 analog) */
+        uint64_t hold;
+        long byte = bp >> 3;
+        long av = nbytes - byte;
+        if (av >= 8) {
+            memcpy(&hold, data + byte, 8);
+        } else {
+            hold = 0;
+            for (long k = 0; k < av; k++)
+                hold |= (uint64_t)data[byte + k] << (8 * k);
+        }
+        hold >>= (bp & 7);
+
+        int32_t ent = lit_lut[hold & 0x7FFF];
+        if (ent < 0) {
+            if (bp + 15 > total_bits && !finish) { ret = 1; break; }
+            ret = -2; break;
+        }
+        long nb = ent & 15;
+        long sym = ent >> 4;
+        bp += nb;
+        if (bp > total_bits) {
+            if (finish) { ret = -5; break; }
+            bp -= nb; ret = 1; break;
+        }
+        ncodes++;
+        if (sym < 256) {
+            if (olen >= out_cap) { bp -= nb; ncodes--; ret = 2; break; }
+            out[olen++] = (uint8_t)sym;
+            continue;
+        }
+        if (sym == 256) { ret = 0; break; }
+        if (sym > 285) { ret = -2; break; }
+        hold >>= nb;
+        long used = nb;
+        long i = sym - 257;
+        long e = LE[i];
+        long length = LB[i] + (long)(hold & ((1u << e) - 1));
+        hold >>= e; used += e; bp += e;
+
+        int32_t dent = dist_lut[hold & 0x7FFF];
+        long dsym = dent >> 4;
+        if (dent < 0 || dsym > 29) {
+            /* note: the symbol stays counted in ncodes, matching the
+             * Python hot loop's codes_used bookkeeping exactly */
+            if (bp + 15 > total_bits && !finish) { bp -= used; ret = 1; break; }
+            ret = -3; break;
+        }
+        long dnb = dent & 15;
+        hold >>= dnb; used += dnb; bp += dnb;
+        e = DE[dsym];
+        long dist = DB[dsym] + (long)(hold & ((1u << e) - 1));
+        used += e; bp += e;
+        if (bp > total_bits) {
+            if (finish) { ret = -5; break; }
+            bp -= used; ncodes--; ret = 1; break;
+        }
+        if (dist > olen || dist > wsize) { ret = -4; break; }
+        if (olen + length > out_cap) { bp -= used; ncodes--; ret = 2; break; }
+        /* overlap-tolerant copy (chunkset CHUNKCOPY semantics) */
+        {
+            uint8_t *dst = out + olen;
+            const uint8_t *src = dst - dist;
+            if (dist >= 8 && dist >= length) {
+                memcpy(dst, src, (size_t)length);
+            } else {
+                for (long k = 0; k < length; k++) dst[k] = src[k];
+            }
+            olen += length;
+        }
+    }
+    *bitpos_io = bp;
+    *out_len_io = olen;
+    *ncodes_io += ncodes;
+    return ret;
+}

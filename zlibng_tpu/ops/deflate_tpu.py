@@ -75,12 +75,14 @@ def _stage1(lanes, enc_ends, hist_valids, chain, lazy, max_lazy, nice=258):
 
 @jax.jit
 def _stage2(tok_len, tok_dist, lsym, dsym, sel,
-            hdr_lo, hdr_hi, hdr_nb, llen_tab, lcode_tab, dlen_tab, dcode_tab):
-    def one(tl, td, ls, ds, se, hlo, hhi, hnb, lt, lc, dt, dc):
+            hdr_lo, hdr_hi, hdr_nb, llen_tab, lcode_tab, dlen_tab, dcode_tab,
+            eob_mask):
+    def one(tl, td, ls, ds, se, hlo, hhi, hnb, lt, lc, dt, dc, em):
         lo, hi, nb = render_body_tokens(tl, td, ls, ds, se, lt, lc, dt, dc)
-        eob_lo = lc[256].astype(U32)[None]
+        # EOB is emitted only on the last lane of a merged block group
+        eob_lo = (lc[256].astype(U32) * em.astype(U32))[None]
         eob_hi = jnp.zeros(1, U32)
-        eob_nb = lt[256].astype(I32)[None]
+        eob_nb = (lt[256] * em)[None].astype(I32)
         lo_all = jnp.concatenate([hlo, lo, eob_lo])
         hi_all = jnp.concatenate([hhi, hi, eob_hi])
         nb_all = jnp.concatenate([hnb, nb, eob_nb])
@@ -88,7 +90,7 @@ def _stage2(tok_len, tok_dist, lsym, dsym, sel,
 
     return jax.vmap(one)(tok_len, tok_dist, lsym, dsym, sel,
                          hdr_lo, hdr_hi, hdr_nb,
-                         llen_tab, lcode_tab, dlen_tab, dcode_tab)
+                         llen_tab, lcode_tab, dlen_tab, dcode_tab, eob_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -205,15 +207,37 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
         dcode_tab = np.zeros((Bpad, 30), np.int32)
         stored_mask = np.zeros(Bpad, bool)
 
-        for i, bi in enumerate(range(g0, g1)):
-            final = bi == nblocks - 1
-            lfreq = lfreqs[i].astype(np.int64)
-            lfreq[256] += 1  # EOB
-            dfreq = dfreqs[i].astype(np.int64)
+        # group consecutive low-token lanes into ONE merged DEFLATE block
+        # (shared table, one header, EOB only on the group's last lane) —
+        # per-block header overhead otherwise dominates highly compressible
+        # corpora (trees.c emits one tree per flush for the same reason)
+        tokcnt = lfreqs.sum(axis=1)
+        MERGE_TOK = 4096
+        groups: list[list[int]] = []
+        cur: list[int] = []
+        curtok = 0
+        for i in range(B):
+            small = int(tokcnt[i]) <= MERGE_TOK
+            if cur and (not small or curtok + int(tokcnt[i]) > 4 * MERGE_TOK):
+                groups.append(cur)
+                cur, curtok = [], 0
+            if small:
+                cur.append(i)
+                curtok += int(tokcnt[i])
+            else:
+                groups.append([i])
+        if cur:
+            groups.append(cur)
+
+        eob_mask = np.zeros(Bpad, np.int32)
+        for grp in groups:
+            gfinal = (g0 + grp[-1]) == nblocks - 1
+            lfreq = lfreqs[grp].sum(axis=0).astype(np.int64)
+            lfreq[256] += 1  # one EOB per merged block
+            dfreq = dfreqs[grp].sum(axis=0).astype(np.int64)
             extra = _extra_cost(lfreq, dfreq)
             static_bits = int((lfreq * FIXED_LIT_LENGTHS[:286]).sum()
                               + (dfreq * FIXED_DIST_LENGTHS).sum()) + extra
-            blen = int(enc_ends[i]) - LANE_HIST
             if strategy == Z_FIXED:
                 dyn_bits = None
             else:
@@ -223,27 +247,35 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                 dyn_bits = int((lfreq * llen).sum() + (dfreq * dlen).sum()) \
                     + extra + hbits
             best = static_bits if dyn_bits is None else min(static_bits, dyn_bits)
-            stored_bits = 32 + 8 * blen + 7  # upper bound incl. alignment
-            if blen <= 0xFFFF and stored_bits < best + 3:
-                stored_mask[i] = True
-                continue
+            if len(grp) == 1:
+                i = grp[0]
+                blen = int(enc_ends[i]) - LANE_HIST
+                stored_bits = 32 + 8 * blen + 7  # upper bound incl. alignment
+                if blen <= 0xFFFF and stored_bits < best + 3:
+                    stored_mask[i] = True
+                    continue
+            eob_mask[grp[-1]] = 1
             if dyn_bits is not None and dyn_bits < static_bits:
-                tokens = [(int(final) | (2 << 1), 3)] + toks
-                llen_tab[i, :286], lcode_tab[i, :286] = llen, lcode
-                dlen_tab[i], dcode_tab[i] = dlen, dcode
+                tokens = [(int(gfinal) | (2 << 1), 3)] + toks
+                for i in grp:
+                    llen_tab[i, :286], lcode_tab[i, :286] = llen, lcode
+                    dlen_tab[i], dcode_tab[i] = dlen, dcode
             else:
-                tokens = [(int(final) | (1 << 1), 3)]
-                llen_tab[i] = FIXED_LIT_LENGTHS
-                lcode_tab[i] = FIXED_LIT_CODES_REV
-                dlen_tab[i, :] = FIXED_DIST_LENGTHS
-                dcode_tab[i, :] = FIXED_DIST_CODES_REV
-            hdr_lo[i], hdr_hi[i], hdr_nb[i] = _header_tokens_to_arrays(tokens)
+                tokens = [(int(gfinal) | (1 << 1), 3)]
+                for i in grp:
+                    llen_tab[i] = FIXED_LIT_LENGTHS
+                    lcode_tab[i] = FIXED_LIT_CODES_REV
+                    dlen_tab[i, :] = FIXED_DIST_LENGTHS
+                    dcode_tab[i, :] = FIXED_DIST_CODES_REV
+            hdr_lo[grp[0]], hdr_hi[grp[0]], hdr_nb[grp[0]] = \
+                _header_tokens_to_arrays(tokens)
 
         packed, totals = _stage2(
             outs["tok_len"], outs["tok_dist"], outs["lsym"], outs["dsym"],
             outs["sel"], jnp.asarray(hdr_lo), jnp.asarray(hdr_hi),
             jnp.asarray(hdr_nb), jnp.asarray(llen_tab), jnp.asarray(lcode_tab),
-            jnp.asarray(dlen_tab), jnp.asarray(dcode_tab))
+            jnp.asarray(dlen_tab), jnp.asarray(dcode_tab),
+            jnp.asarray(eob_mask))
         packed = np.asarray(packed)
         totals = np.asarray(totals)
 

@@ -51,8 +51,7 @@ import jax.numpy as jnp
 from ..errors import DataError as InflateError
 from ..format.constants import DIST_BASE, LENGTH_BASE
 from ..stream.inflate_serial import (
-    _FIXED_DIST_LUT, _FIXED_LIT_LUT, _S_BLOCK_HEADER, _S_HUFF, _S_STORED,
-    NEED_INPUT, RawInflater,
+    _S_BLOCK_HEADER, _S_HUFF, _S_STORED, NEED_INPUT, RawInflater,
 )
 from .parse_pallas import parse_select
 
@@ -70,9 +69,6 @@ B_STORED = 2
 
 _LB_J = jnp.asarray(LENGTH_BASE.astype(np.int32))
 _DB_J = jnp.asarray(DIST_BASE.astype(np.int32))
-
-_FIXED_LIT_NP = np.array(_FIXED_LIT_LUT, dtype=np.int32)
-_FIXED_DIST_NP = np.array(_FIXED_DIST_LUT, dtype=np.int32)
 
 # lane size buckets (compressed bytes per lane). A typical dynamic block is
 # well under 64 KiB compressed; monster blocks fall back to serial.
@@ -247,11 +243,7 @@ def _parse_header(inf: RawInflater, cur: _Cursor):
         cur.pos = inf.bitpos + 8 * length
         return ("stored", start_byte, length)
     assert inf.state == _S_HUFF
-    lit = (np.array(inf.lit_lut, dtype=np.int32)
-           if inf.lit_lut is not _FIXED_LIT_LUT else _FIXED_LIT_NP)
-    dist = (np.array(inf.dist_lut, dtype=np.int32)
-            if inf.dist_lut is not _FIXED_DIST_LUT else _FIXED_DIST_NP)
-    return ("huff", lit, dist, inf.bitpos)
+    return ("huff", inf.lit_lut, inf.dist_lut, inf.bitpos)
 
 
 def _advance_host(inf: RawInflater, cur: _Cursor):

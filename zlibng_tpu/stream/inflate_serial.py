@@ -23,7 +23,7 @@ from ..format.constants import (
     LENGTH_BASE, LENGTH_EXTRA, WINDOW_SIZE,
 )
 from ..huffman.decode_tables import (
-    CODES, DISTS, LENS, InvalidCodeError, build_decode_lut,
+    CODES, DISTS, LENS, InvalidCodeError, build_decode_lut, build_packed_lut,
 )
 
 
@@ -48,18 +48,39 @@ _DB = DIST_BASE.tolist()
 _DE = DIST_EXTRA.tolist()
 
 
-def _pack_lut(lut) -> list:
-    """Pack (sym, nbits) decode arrays into one python list: entry = sym<<4 | nbits.
-    Invalid entries are negative."""
+def _pack_lut(lut) -> np.ndarray:
+    """Pack (sym, nbits) decode arrays into one int32 array: entry =
+    sym<<4 | nbits. Invalid entries are negative. This layout is shared
+    by the native hot loop (zng_decode_huff), the TPU batch decoder
+    (ops/inflate_tpu.py) and — via a lazily cached .tolist() — the pure
+    Python fallback loop."""
     sym, bits = lut
-    return ((sym.astype(np.int64) << 4) | bits).tolist()
+    return ((sym.astype(np.int64) << 4) | bits).astype(np.int32)
 
 
 # Fixed tables, built once. The fixed distance tree is defined over 32
 # five-bit codes (RFC 1951 §3.2.6); symbols 30/31 are rejected at decode.
-_FIXED_LIT_LUT = _pack_lut(build_decode_lut(FIXED_LIT_LENGTHS, LENS, max_len=15))
-_FIXED_DIST_LUT = _pack_lut(
-    build_decode_lut(np.full(32, 5, dtype=np.int32), DISTS, max_len=15))
+_FIXED_LIT_LUT = build_packed_lut(FIXED_LIT_LENGTHS, LENS, max_len=15)
+_FIXED_DIST_LUT = build_packed_lut(np.full(32, 5, dtype=np.int32), DISTS,
+                                   max_len=15)
+_FIXED_LUT_LIST = (_FIXED_LIT_LUT.tolist(), _FIXED_DIST_LUT.tolist())
+
+
+_native_lib = None
+
+
+def _native():
+    """The compiled host runtime (native/zng_host.c) or None. The serial
+    hot loop runs there when available; the Python loop below is the
+    always-available fallback and the behavioral specification."""
+    global _native_lib
+    if _native_lib is None:
+        try:
+            from ..native import lib
+            _native_lib = lib() or False
+        except Exception:
+            _native_lib = False
+    return _native_lib or None
 
 
 class RawInflater:
@@ -87,6 +108,7 @@ class RawInflater:
         self.stored_remaining = 0
         self.lit_lut = None
         self.dist_lut = None
+        self._lut_list = None  # cached list LUTs for the Python fallback
         self.codes_used = 0  # inflateCodesUsed analog: symbols decoded
 
     # -- bit plumbing -------------------------------------------------------
@@ -153,11 +175,13 @@ class RawInflater:
         elif btype == 1:
             self.lit_lut = _FIXED_LIT_LUT
             self.dist_lut = _FIXED_DIST_LUT
+            self._lut_list = _FIXED_LUT_LIST
             self.state = _S_HUFF
         elif btype == 2:
             r = self._read_dynamic_tables(save)
             if r is NEED_INPUT:
                 return NEED_INPUT
+            self._lut_list = None
             self.state = _S_HUFF
         else:
             raise InflateError("invalid block type")
@@ -219,11 +243,11 @@ class RawInflater:
             if lengths[256] == 0:
                 raise InflateError("invalid code -- missing end-of-block")
             try:
-                self.lit_lut = _pack_lut(build_decode_lut(lengths[:hlit], LENS, max_len=15))
+                self.lit_lut = build_packed_lut(lengths[:hlit], LENS, max_len=15)
             except InvalidCodeError:
                 raise InflateError("invalid literal/lengths set")
             try:
-                self.dist_lut = _pack_lut(build_decode_lut(lengths[hlit:], DISTS, max_len=15))
+                self.dist_lut = build_packed_lut(lengths[hlit:], DISTS, max_len=15)
             except InvalidCodeError:
                 raise InflateError("invalid distances set")
             return None
@@ -245,10 +269,60 @@ class RawInflater:
         self.state = _S_DONE if self.final_block else _S_BLOCK_HEADER
         return None
 
+    def _decode_huff_native(self, lib, finish: bool):
+        """Run the block's symbol loop in the compiled host runtime
+        (native/zng_host.c zng_decode_huff); grows the output buffer on
+        demand and maps return codes to the exact zlib error strings."""
+        import ctypes
+
+        lit_np, dist_np = self.lit_lut, self.dist_lut
+        out = self.out
+        real = len(out)
+        bp = ctypes.c_long(self.bitpos)
+        ol = ctypes.c_long(real)
+        nc = ctypes.c_long(0)
+        # initial slack: ~8x the remaining compressed bytes, clamped; the
+        # retry loop doubles on underestimate (ret == 2)
+        grow = max(1 << 12, min((len(self.data) - (self.bitpos >> 3)) * 8,
+                                1 << 22))
+        while True:
+            out.extend(bytes(grow))
+            grow *= 2
+            dbuf = (ctypes.c_char * len(self.data)).from_buffer(self.data)
+            obuf = (ctypes.c_char * len(out)).from_buffer(out)
+            ret = lib.zng_decode_huff(
+                dbuf, len(self.data), ctypes.byref(bp),
+                ctypes.c_void_p(lit_np.ctypes.data),
+                ctypes.c_void_p(dist_np.ctypes.data),
+                obuf, len(out), ctypes.byref(ol),
+                self.window_size, int(finish), ctypes.byref(nc))
+            del dbuf, obuf
+            real = ol.value
+            if ret != 2:
+                break
+        del out[real:]
+        self.bitpos = bp.value
+        self.codes_used += nc.value
+        if ret == 0:
+            self.state = _S_DONE if self.final_block else _S_BLOCK_HEADER
+            return None
+        if ret == 1:
+            return NEED_INPUT
+        msgs = {-2: "invalid literal/length code",
+                -3: "invalid distance code",
+                -4: "invalid distance too far back",
+                -5: "unexpected end of stream"}
+        raise InflateError(msgs[ret])
+
     def _decode_huff(self, finish: bool):
-        # Hot loop: all-local packed-list lookups, one LUT entry per symbol.
-        lit_lut = self.lit_lut
-        dist_lut = self.dist_lut
+        lib = _native()
+        if lib is not None:
+            return self._decode_huff_native(lib, finish)
+        # Hot loop: all-local packed-list lookups, one LUT entry per symbol
+        # (scalar list indexing beats numpy scalar indexing ~10x in CPython).
+        if self._lut_list is None:
+            self._lut_list = (self.lit_lut.tolist(), self.dist_lut.tolist())
+        lit_lut, dist_lut = self._lut_list
         data = self.data
         out = self.out
         bitpos = self.bitpos
