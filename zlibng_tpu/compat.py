@@ -41,6 +41,7 @@ entry point by its zng_ name. Stream-object methods cover the rest:
 """
 from __future__ import annotations
 
+from .zng import *  # noqa: F401,F403  (literal zng_-named entry points)
 from . import ZLIBNG_PARITY_VERSION, __version__
 from .checksum.adler32 import adler32, adler32_combine
 from .checksum.crc32 import crc32, crc32_combine, crc32_combine_gen, crc32_combine_op
