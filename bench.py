@@ -41,6 +41,7 @@ def main():
     import zlib
 
     from zlibng_tpu.ops.deflate_tpu import compress_tpu
+    from zlibng_tpu.ops.inflate_tpu import decompress_tpu
 
     corpus = load_corpus()
     n = len(corpus)
@@ -59,6 +60,35 @@ def main():
         best = max(best, n / dt)
         size = len(c)
     assert zlib.decompress(c) == corpus
+
+    # decode path: zlib-compressed corpus through the TPU batch decoder
+    dec_mbps = None
+    try:
+        zc = zlib.compress(corpus, 6)
+        out = decompress_tpu(zc)  # warm-up/compile
+        assert out == corpus
+        dbest = 0.0
+        for _ in range(2):
+            t = time.perf_counter()
+            out = decompress_tpu(zc)
+            dbest = max(dbest, n / (time.perf_counter() - t))
+        assert out == corpus
+        dec_mbps = round(dbest / 1e6, 2)
+    except Exception:
+        pass
+
+    # secondary levels (1 rep each; headline stays L6 compress)
+    lvl_extra = {}
+    for lvl in (1, 9):
+        try:
+            t = time.perf_counter()
+            cl = compress_tpu(corpus, lvl)
+            dt = time.perf_counter() - t
+            assert zlib.decompress(cl) == corpus
+            lvl_extra[str(lvl)] = {"compress_MBps": round(n / dt / 1e6, 2),
+                                   "size": len(cl)}
+        except Exception:
+            pass
 
     baseline_mbps = None
     baseline_size = None
@@ -107,6 +137,8 @@ def main():
             "baseline_zlibng_l6_MBps": baseline_mbps,
             "baseline_zlibng_l6_size": baseline_size,
             "size_vs_zlibng": round(size / baseline_size, 4) if baseline_size else None,
+            "decompress_MBps": dec_mbps,
+            "levels": lvl_extra,
             "device_elementwise_Gops": device_gops,
             "note": "device via axon tunnel sustains ~2% of v5e VPU spec "
                     "(measured); codec throughput scales with device rate",

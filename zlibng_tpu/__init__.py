@@ -54,3 +54,11 @@ def compress_tpu(data, level: int = 6, wbits: int = 15, strategy: int = 0,
     from .ops.deflate_tpu import compress_tpu as _ct
     return _ct(data, level=level, wbits=wbits, strategy=strategy,
                dictionary=dictionary)
+
+
+def decompress_tpu(data, wbits: int = 15, dictionary=None) -> bytes:
+    """One-shot decompression on the TPU batch decoder (ops/inflate_tpu:
+    speculative token resolution + pointer-doubling LZ77); falls back to
+    the serial conformance decoder for streams it cannot batch."""
+    from .ops.inflate_tpu import decompress_tpu as _dt
+    return _dt(data, wbits=wbits, dictionary=dictionary)
