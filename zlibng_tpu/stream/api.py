@@ -330,6 +330,13 @@ class Inflate:
         self._finished = False
         self._trailer = bytearray()
         self._validate = True
+        # sub-byte carry from inflatePrime with bits % 8 != 0: the last
+        # _lead_n bits of the logical stream, not yet in _raw.data
+        self._lead_n = 0
+        self._lead_val = 0
+        # bit position where already-primed bits end (consecutive primes
+        # stack upward, like the reference's hold |= value << bits)
+        self._primed_until = 0
         self._setup_mode()
 
     def _setup_mode(self):
@@ -398,6 +405,21 @@ class Inflate:
             self._raw = RawInflater(
                 wbits=15, dictionary=self._dict if self._mode == "zlib" else None)
             buf = rest + buf
+
+        if self._lead_n and (buf or finish):
+            # splice new input after the sub-byte inflatePrime carry
+            big = (int.from_bytes(buf, "little") << self._lead_n) \
+                | self._lead_val
+            nbits = len(buf) * 8 + self._lead_n
+            if finish:  # flush: zero-pad the final partial byte
+                buf = big.to_bytes((nbits + 7) // 8, "little")
+                self._lead_n = self._lead_val = 0
+            else:
+                whole = nbits // 8 * 8
+                buf = (big & ((1 << whole) - 1)).to_bytes(whole // 8,
+                                                          "little")
+                self._lead_n = nbits - whole
+                self._lead_val = big >> whole
 
         before = len(self._raw.out)
         self._raw.feed(buf)
@@ -511,17 +533,36 @@ class Inflate:
         """inflatePrime: push bits into the input bit buffer."""
         if self._raw is None:
             raise StreamError("prime before header")
-        if bits < 0:
+        if bits < 0:  # reference: negative count empties the bit buffer
             self._raw.bitpos = (self._raw.bitpos + 7) & ~7
+            self._lead_n = self._lead_val = 0
+            self._primed_until = 0
             return
-        # prepend bits at the current bit position (only supported at byte
-        # boundaries mid-stream, like the reference's use for stitching)
-        if self._raw.bitpos % 8 != 0:
-            raise StreamError("prime mid-byte not supported")
-        b = bytearray()
-        hold, cnt = value & ((1 << bits) - 1), bits
-        while cnt > 0:
-            b.append(hold & 0xFF)
-            hold >>= 8
-            cnt -= 8
-        self._raw.data[self._raw.bitpos >> 3:self._raw.bitpos >> 3] = b
+        if bits > 16:
+            raise StreamError("invalid prime bits")
+        # Reference semantics (inflate.c:277-302): the primed bits are
+        # consumed BEFORE any not-yet-read input bits, without re-aligning
+        # that input. The RawInflater reads from a contiguous buffer, so
+        # prepending k bits shifts the unread tail left by k; a sub-byte
+        # remainder is carried in _lead_* and merged with future input.
+        byte0 = self._raw.bitpos >> 3
+        bit_off = self._raw.bitpos & 7
+        tail = bytes(self._raw.data[byte0:])
+        big = int.from_bytes(tail, "little") >> bit_off  # unread bits
+        nbits = len(tail) * 8 - bit_off
+        big |= self._lead_val << nbits
+        nbits += self._lead_n
+        # insert ABOVE any still-unconsumed previously-primed bits
+        off = max(0, self._primed_until - self._raw.bitpos)
+        low = big & ((1 << off) - 1)
+        big = (((big >> off) << bits) | (value & ((1 << bits) - 1))) << off \
+            | low
+        nbits += bits
+        self._primed_until = self._raw.bitpos + off + bits
+        whole = nbits // 8 * 8
+        del self._raw.data[byte0:]
+        self._raw.data += (big & ((1 << whole) - 1)).to_bytes(whole // 8,
+                                                              "little")
+        self._lead_n = nbits - whole
+        self._lead_val = big >> whole
+        self._raw.bitpos = byte0 * 8
