@@ -70,14 +70,28 @@ def _stage1(lanes, enc_ends, hist_valids, chain, lazy, max_lazy, nice=258):
     outs = finalize_tokens(lanes, core, sel)
     lfreqs, dfreqs = jax.vmap(lane_freqs)(
         outs["lsym"], outs["dsym"], outs["sel"], outs["tok_len"] > 0)
-    return outs, lfreqs, dfreqs
+    # compact the cross-dispatch token arrays: materializing stage outputs
+    # costs real HBM bandwidth, and lsym/dsym are recomputable arithmetic
+    # functions of (lanes, tok_len, tok_dist) — 5 B/pos instead of 20 B/pos
+    compact = dict(sel=outs["sel"].astype(bool),
+                   tok_len=outs["tok_len"].astype(jnp.uint16),
+                   tok_dist=outs["tok_dist"].astype(jnp.uint16))
+    return compact, lfreqs, dfreqs
 
 
 @jax.jit
-def _stage2(tok_len, tok_dist, lsym, dsym, sel,
+def _stage2(lanes, tok_len, tok_dist, sel,
             hdr_lo, hdr_hi, hdr_nb, llen_tab, lcode_tab, dlen_tab, dcode_tab,
             eob_mask):
-    def one(tl, td, ls, ds, se, hlo, hhi, hnb, lt, lc, dt, dc, em):
+    from .lz77_jax import dist_code_arith, length_code_arith
+
+    def one(lane, tl, td, se, hlo, hhi, hnb, lt, lc, dt, dc, em):
+        tl = tl.astype(I32)
+        td = td.astype(I32)
+        is_match = tl > 0
+        ls = jnp.where(is_match, length_code_arith(jnp.maximum(tl, 3)),
+                       lane.astype(I32))
+        ds = jnp.where(is_match, dist_code_arith(jnp.maximum(td, 1)), 0)
         lo, hi, nb = render_body_tokens(tl, td, ls, ds, se, lt, lc, dt, dc)
         # EOB is emitted only on the last lane of a merged block group
         eob_lo = (lc[256].astype(U32) * em.astype(U32))[None]
@@ -88,7 +102,7 @@ def _stage2(tok_len, tok_dist, lsym, dsym, sel,
         nb_all = jnp.concatenate([hnb, nb, eob_nb])
         return hierarchical_pack(lo_all, hi_all, nb_all, OUT_MAX)
 
-    return jax.vmap(one)(tok_len, tok_dist, lsym, dsym, sel,
+    return jax.vmap(one)(lanes, tok_len, tok_dist, sel,
                          hdr_lo, hdr_hi, hdr_nb,
                          llen_tab, lcode_tab, dlen_tab, dcode_tab, eob_mask)
 
@@ -178,7 +192,12 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
     stitch = _BitStitcher()
     lane_starts = [bi * LANE_BLOCK for bi in range(nblocks)]
 
-    for g0 in range(0, nblocks, MAX_LANES):
+    # Software pipeline over lane groups: stage1 dispatches are queued ahead
+    # so host work (freq fetch, Huffman tree build, stitching) overlaps with
+    # device execution of later groups. DEPTH bounds in-flight HBM use.
+    DEPTH = 3
+
+    def _dispatch_stage1(g0: int) -> dict:
         g1 = min(g0 + MAX_LANES, nblocks)
         B = g1 - g0
         Bpad = 1 << (B - 1).bit_length()  # bucket to limit recompiles
@@ -190,12 +209,19 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
             lanes[i] = vbuf[s:s + LANE]
             enc_ends[i] = LANE_HIST + min(LANE_BLOCK, n - bi * LANE_BLOCK)
             hist_valids[i] = first_hist_valid if bi == 0 else 0
-
+        lanes_d = jnp.asarray(lanes)
         outs, lfreqs_d, dfreqs_d = _stage1(
-            jnp.asarray(lanes), jnp.asarray(enc_ends), jnp.asarray(hist_valids),
+            lanes_d, jnp.asarray(enc_ends), jnp.asarray(hist_valids),
             lc.chain, lc.lazy, lc.max_lazy, lc.nice)
-        lfreqs = np.asarray(lfreqs_d)
-        dfreqs = np.asarray(dfreqs_d)
+        return dict(g0=g0, g1=g1, B=B, Bpad=Bpad, lanes_d=lanes_d,
+                    outs=outs, lfreqs_d=lfreqs_d, dfreqs_d=dfreqs_d,
+                    enc_ends=enc_ends)
+
+    def _dispatch_stage2(gm: dict) -> None:
+        g0, g1, B, Bpad = gm["g0"], gm["g1"], gm["B"], gm["Bpad"]
+        enc_ends, outs, lanes_d = gm["enc_ends"], gm["outs"], gm["lanes_d"]
+        lfreqs = np.asarray(gm["lfreqs_d"])
+        dfreqs = np.asarray(gm["dfreqs_d"])
 
         # host: per-lane table build + type choice + header tokens
         hdr_lo = np.zeros((Bpad, HMAX), np.uint32)
@@ -271,16 +297,22 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                 _header_tokens_to_arrays(tokens)
 
         packed, totals = _stage2(
-            outs["tok_len"], outs["tok_dist"], outs["lsym"], outs["dsym"],
+            lanes_d, outs["tok_len"], outs["tok_dist"],
             outs["sel"], jnp.asarray(hdr_lo), jnp.asarray(hdr_hi),
             jnp.asarray(hdr_nb), jnp.asarray(llen_tab), jnp.asarray(lcode_tab),
             jnp.asarray(dlen_tab), jnp.asarray(dcode_tab),
             jnp.asarray(eob_mask))
-        packed = np.asarray(packed)
-        totals = np.asarray(totals)
+        gm["packed_d"] = packed
+        gm["totals_d"] = totals
+        gm["stored_mask"] = stored_mask
+        # stage1 intermediates are no longer needed on device
+        del gm["outs"], gm["lanes_d"], gm["lfreqs_d"], gm["dfreqs_d"]
 
-        # host: stitch lanes in order
-        for i, bi in enumerate(range(g0, g1)):
+    def _stitch(gm: dict) -> None:
+        packed = np.asarray(gm["packed_d"])
+        totals = np.asarray(gm["totals_d"])
+        stored_mask, enc_ends = gm["stored_mask"], gm["enc_ends"]
+        for i, bi in enumerate(range(gm["g0"], gm["g1"])):
             final = bi == nblocks - 1
             blen = int(enc_ends[i]) - LANE_HIST
             if stored_mask[i]:
@@ -293,6 +325,23 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                 stitch.append(raw, blen * 8)
             else:
                 stitch.append(packed[i], int(totals[i]))
+        del gm["packed_d"], gm["totals_d"]
+
+    inflight: list[dict] = []
+    done: list[dict] = []
+    for g0 in range(0, nblocks, MAX_LANES):
+        inflight.append(_dispatch_stage1(g0))
+        if len(inflight) >= DEPTH:
+            gm = inflight.pop(0)
+            _dispatch_stage2(gm)
+            done.append(gm)
+        while len(done) >= DEPTH:
+            _stitch(done.pop(0))
+    for gm in inflight:
+        _dispatch_stage2(gm)
+        done.append(gm)
+    for gm in done:
+        _stitch(gm)
     return stitch.getvalue()
 
 

@@ -153,24 +153,57 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
         better = score > best_score
         best_score = jnp.where(better, score, best_score)
         best_cand_s = jnp.where(better, cand, best_cand_s)
-    # pack (valid, cand) and map back to position order with ONE gather
+    # pack (valid, l16, cand) and map back to position order with ONE gather
+    # (cand < LANE < 2^17, l16 <= 16 -> 5 bits; sentinel -1 = no candidate)
     valid_s = best_score > NEG
-    packed_s = jnp.where(valid_s, best_cand_s, jnp.int32(0xFFFFF))
-    best_cand = packed_s[inv]                            # (N,) point gather
-    has_cand = best_cand != 0xFFFFF
-    best_cand = jnp.where(has_cand, best_cand, 0)
+    l16_s = (best_score + (pos_s - best_cand_s)) >> 20   # recover probe length
+    packed_s = jnp.where(valid_s, (l16_s << 17) | best_cand_s, jnp.int32(-1))
+    packed = packed_s[inv]                               # (N,) point gather
+    has_cand = packed >= 0
+    best_cand = jnp.where(has_cand, packed & 0x1FFFF, 0)
+    l16 = jnp.where(has_cand, packed >> 17, 0)
     best_dist = jnp.where(has_cand, pos - best_cand, 0)
 
-    # ---- extension: columnar compare, one wide row gather --------------
-    # W[i, c] = word at byte i+4c; winner rows vs own rows, first nonzero
-    # column + ctz gives the full match length (compare256 analog, one shot).
-    W = jnp.stack([w4[4 * c: 4 * c + N] for c in range(CX)], axis=1)  # (N, CX)
-    Wc = W[best_cand]                                    # row gather (4*CX B)
-    X = W ^ Wc                                           # (N, CX)
-    nzcol = jnp.where(X != 0, jnp.arange(CX, dtype=I32)[None, :], CX)
-    fc = jnp.min(nzcol, axis=1)                          # first mismatch col
-    word_fc = jnp.where(nzcol == fc[:, None], X, 0).sum(axis=1).astype(U32)
-    ext = 4 * fc + _ctz_bytes32(word_fc)
+    # ---- extension: two-phase narrow/wide (compare256 analog) ----------
+    # The 16-byte probe already yields the EXACT match length whenever the
+    # first mismatch falls inside it. Only positions whose probe matched in
+    # full (~0.03-13% measured on jpg/text/pdf corpora) need the wide
+    # columnar compare; those are compacted into fixed-size batches of M
+    # and extended inside a while_loop, so cost is proportional to the
+    # data's long-match density instead of a dense (N, CX) row gather.
+    N_PROBE = 16
+    if n_ext <= N_PROBE:
+        ext = l16                                        # probe is exact
+    else:
+        # only positions that can emit tokens need exact lengths: this
+        # excludes the 32K history prefix, zero tail padding, and all-zero
+        # padded lanes (whose every position would otherwise probe-match)
+        need = (has_cand & (l16 >= N_PROBE)
+                & (pos >= enc_start) & (pos < enc_end))
+        rank = jnp.cumsum(need.astype(I32)) - 1          # rank among needy
+        total = jnp.sum(need.astype(I32))
+        M = max(N // 8, 1024)
+        # W[i, c] = word at byte i+4c — shift/stack, no data movement
+        W = jnp.stack([w4[4 * c: 4 * c + N] for c in range(CX)], axis=1)
+
+        def wide_body(state):
+            i, ext = state
+            lo = i * M
+            in_win = need & (rank >= lo) & (rank < lo + M)
+            slot = jnp.where(in_win, rank - lo, M)
+            idx = jnp.full(M, N, I32).at[slot].set(pos, mode="drop")
+            live = idx < N
+            safe = jnp.where(live, idx, 0)
+            csafe = jnp.where(live, best_cand.at[safe].get(), 0)
+            X = W[safe] ^ W[csafe]                       # (M, CX) row gathers
+            nzcol = jnp.where(X != 0, jnp.arange(CX, dtype=I32)[None, :], CX)
+            fc = jnp.min(nzcol, axis=1)
+            word_fc = jnp.where(nzcol == fc[:, None], X, 0).sum(axis=1)
+            ext_c = 4 * fc + _ctz_bytes32(word_fc.astype(U32))
+            return i + 1, ext.at[idx].set(ext_c, mode="drop")
+
+        _, ext = jax.lax.while_loop(
+            lambda st: st[0] * M < total, wide_body, (jnp.int32(0), l16))
     cap = jnp.minimum(MAX_MATCH, enc_end - pos)
     blen = jnp.minimum(jnp.minimum(ext, n_ext), cap)
     blen = jnp.where(has_cand, blen, 0)
