@@ -77,10 +77,12 @@ def main():
     except Exception:
         pass
 
-    # secondary levels (1 rep each; headline stays L6 compress)
+    # secondary levels (warm the per-level compile on a prefix first so the
+    # number is steady-state throughput, like the L6 headline and baseline)
     lvl_extra = {}
     for lvl in (1, 9):
         try:
+            compress_tpu(warm, lvl)
             t = time.perf_counter()
             cl = compress_tpu(corpus, lvl)
             dt = time.perf_counter() - t

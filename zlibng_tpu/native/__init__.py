@@ -62,6 +62,15 @@ def lib():
         lb.zng_fill_lut.restype = None
         lb.zng_fill_lut.argtypes = [ctypes.c_void_p, ctypes.c_long,
                                     ctypes.c_int, ctypes.c_void_p]
+        lb.zng_read_dyn_header.restype = ctypes.c_long
+        lb.zng_read_dyn_header.argtypes = [
+            ctypes.c_void_p, ctypes.c_long,                 # data, nbytes
+            ctypes.POINTER(ctypes.c_long),                  # bitpos
+            ctypes.c_void_p,                                # lengths out
+            ctypes.POINTER(ctypes.c_long),                  # hlit
+            ctypes.POINTER(ctypes.c_long),                  # hdist
+            ctypes.c_void_p, ctypes.c_void_p,               # lit/dist LUTs
+        ]
         lb.zng_decode_huff.restype = ctypes.c_long
         lb.zng_decode_huff.argtypes = [
             ctypes.c_void_p, ctypes.c_long,                 # data, nbytes

@@ -112,6 +112,139 @@ void zng_fill_lut(const int32_t *lengths, long nsyms, int max_len,
     }
 }
 
+/* ---- dynamic block header parse (inflate.c:801-922 TABLE..CODELENS) ----
+ *
+ * Parses HLIT/HDIST/HCLEN, the code-length code, and the RLE-coded
+ * lit/dist code lengths starting at *bitpos_io (LSB-first). On success
+ * returns 0, writes hlit+hdist entries into lengths_out (caller provides
+ * >= 316 int32), sets *hlit_io/*hdist_io and advances *bitpos_io. Returns
+ * 1 when more input is needed (*bitpos_io unchanged; same conservative
+ * per-symbol 14-bit lookahead rule as the Python parser). On success also
+ * validates both code sets (inftrees.c:98-130 acceptance rules) and fills
+ * the caller's 32768-entry lit/dist LUTs. Corrupt data:
+ *   -1  too many length or distance symbols
+ *   -6  invalid code lengths set (bad Kraft / invalid CL symbol)
+ *   -7  invalid bit length repeat
+ *   -8  invalid code -- missing end-of-block
+ *   -9  invalid literal/lengths set
+ *   -10 invalid distances set
+ */
+static const uint8_t BL_ORD[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,
+                                   14,1,15};
+
+static uint64_t zng_peek(const uint8_t *data, long nbytes, long bp, int n) {
+    uint64_t hold;
+    long byte = bp >> 3;
+    long av = nbytes - byte;
+    if (av >= 8) {
+        memcpy(&hold, data + byte, 8);
+    } else {
+        hold = 0;
+        for (long k = 0; k < av; k++)
+            hold |= (uint64_t)data[byte + k] << (8 * k);
+    }
+    return (hold >> (bp & 7)) & ((1ull << n) - 1ull);
+}
+
+/* Kraft accounting (validate_lengths analog): 0 ok (incl. zero used
+ * symbols -> error-forcing table), -1 oversubscribed, -2 unacceptably
+ * incomplete. kind: 0 CODES, 1 LENS, 2 DISTS. */
+static int zng_validate(const int32_t *lengths, long nsyms, int kind) {
+    long bl[16] = {0};
+    long nused = 0;
+    int maxu = 0;
+    for (long s = 0; s < nsyms; s++)
+        if (lengths[s] > 0) {
+            bl[lengths[s]]++;
+            nused++;
+            if (lengths[s] > maxu) maxu = (int)lengths[s];
+        }
+    if (nused == 0) return 0;
+    long left = 1;
+    for (int b = 1; b <= 15; b++) {
+        left <<= 1;
+        left -= bl[b];
+        if (left < 0) return -1;
+    }
+    if (left > 0 && (kind == 0 || maxu != 1)) return -2;
+    return 0;
+}
+
+long zng_read_dyn_header(const uint8_t *data, long nbytes, long *bitpos_io,
+                         int32_t *lengths_out, long *hlit_io,
+                         long *hdist_io, int32_t *lit_lut,
+                         int32_t *dist_lut) {
+    long bp = *bitpos_io;
+    const long total = nbytes * 8;
+    if (total - bp < 14) return 1;
+    long hlit = (long)zng_peek(data, nbytes, bp, 5) + 257; bp += 5;
+    long hdist = (long)zng_peek(data, nbytes, bp, 5) + 1;  bp += 5;
+    long hclen = (long)zng_peek(data, nbytes, bp, 4) + 4;  bp += 4;
+    if (hlit > 286 || hdist > 30) return -1;
+    if (total - bp < 3 * hclen) return 1;
+
+    int32_t cl_len[19];
+    for (int i = 0; i < 19; i++) cl_len[i] = 0;
+    for (long i = 0; i < hclen; i++) {
+        cl_len[BL_ORD[i]] = (int32_t)zng_peek(data, nbytes, bp, 3);
+        bp += 3;
+    }
+    /* Kraft accounting; CODES-kind sets must be complete
+     * (inftrees.c:98-130 acceptance rules; all-zero also rejects here,
+     * matching the error-forcing-table-then-first-lookup Python path) */
+    long bl_count[8] = {0};
+    long nused = 0;
+    for (int s = 0; s < 19; s++)
+        if (cl_len[s] > 0) { bl_count[cl_len[s]]++; nused++; }
+    if (nused == 0) return -6;
+    long left = 1;
+    for (int b = 1; b <= 7; b++) {
+        left <<= 1;
+        left -= bl_count[b];
+        if (left < 0) return -6;
+    }
+    if (left > 0) return -6;
+
+    int32_t cl_lut[128];
+    zng_fill_lut(cl_len, 19, 7, cl_lut);
+
+    long n = 0;
+    const long nsym = hlit + hdist;
+    while (n < nsym) {
+        if (total - bp < 14) return 1;    /* 7-bit code + <=7 extra */
+        int32_t ent = cl_lut[zng_peek(data, nbytes, bp, 7)];
+        if (ent < 0) return -6;
+        long sym = ent >> 4;
+        bp += ent & 15;
+        if (sym < 16) {
+            lengths_out[n++] = (int32_t)sym;
+        } else if (sym == 16) {
+            if (n == 0) return -7;
+            long rep = 3 + (long)zng_peek(data, nbytes, bp, 2); bp += 2;
+            if (n + rep > nsym) return -7;
+            int32_t v = lengths_out[n - 1];
+            while (rep--) lengths_out[n++] = v;
+        } else if (sym == 17) {
+            long rep = 3 + (long)zng_peek(data, nbytes, bp, 3); bp += 3;
+            if (n + rep > nsym) return -7;
+            while (rep--) lengths_out[n++] = 0;
+        } else {
+            long rep = 11 + (long)zng_peek(data, nbytes, bp, 7); bp += 7;
+            if (n + rep > nsym) return -7;
+            while (rep--) lengths_out[n++] = 0;
+        }
+    }
+    if (lengths_out[256] == 0) return -8;
+    if (zng_validate(lengths_out, hlit, 1)) return -9;
+    if (zng_validate(lengths_out + hlit, hdist, 2)) return -10;
+    zng_fill_lut(lengths_out, hlit, 15, lit_lut);
+    zng_fill_lut(lengths_out + hlit, hdist, 15, dist_lut);
+    *bitpos_io = bp;
+    *hlit_io = hlit;
+    *hdist_io = hdist;
+    return 0;
+}
+
 /* ---- Huffman-block decode hot loop ----
  *
  * data/nbytes: the whole input buffer; *bitpos_io: LSB-first bit cursor.

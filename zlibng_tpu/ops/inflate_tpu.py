@@ -403,25 +403,43 @@ def _decode_segments(comp: bytes, seg_bounds, dictionary: bytes | None,
 # ---------------------------------------------------------------------------
 # public entry points
 # ---------------------------------------------------------------------------
+# Above this size, an unindexed single stream decodes on the host engine:
+# without known segment boundaries the device path must round-trip once per
+# DEFLATE block (the boundary is data-dependent), so per-dispatch latency
+# dominates. This is the DFLTCC routing seam (deflate.c:72-106 precedent:
+# pick the best engine per stream, keep the API identical) — indexed /
+# multi-segment inputs batch many blocks per dispatch and stay on device.
+_DEVICE_SINGLE_MAX = 1 << 20
+
+
 def inflate_raw_tpu(data: bytes, wbits: int = 15,
-                    dictionary: bytes | None = None):
-    """One-shot raw inflate on the device path. Returns (out, bits_consumed).
-    Falls back to the serial conformance decoder on any anomaly so errors
-    and messages are always format-exact (inflate.c error strings)."""
+                    dictionary: bytes | None = None, engine: str = "auto"):
+    """One-shot raw inflate. Returns (out, bits_consumed).
+
+    engine: "auto" routes large unindexed streams to the native host hot
+    loop and keeps small ones on the device batch path; "device"/"host"
+    force a path. Falls back to the serial conformance decoder on any
+    anomaly so errors and messages are always format-exact (inflate.c
+    error strings)."""
+    data = bytes(data)
+    if engine == "host" or (engine == "auto" and len(data) > _DEVICE_SINGLE_MAX):
+        from ..stream.inflate_serial import inflate_raw
+        return inflate_raw(data, wbits=wbits, dictionary=dictionary)
     try:
-        outs, ends = _decode_segments(bytes(data), [(0, None)], dictionary,
+        outs, ends = _decode_segments(data, [(0, None)], dictionary,
                                       1 << wbits)
         return outs[0], ends[0]
     except (_Fallback, InflateError):
         from ..stream.inflate_serial import inflate_raw
-        return inflate_raw(bytes(data), wbits=wbits, dictionary=dictionary)
+        return inflate_raw(data, wbits=wbits, dictionary=dictionary)
 
 
 def decompress_tpu(data: bytes, wbits: int = 15,
-                   dictionary: bytes | None = None) -> bytes:
-    """zlib.decompress-compatible one-shot on the device path: handles
-    zlib/gzip/raw/auto-detect framing like stream/inflate.decompress but
-    routes the DEFLATE payload through the batch decoder."""
+                   dictionary: bytes | None = None,
+                   engine: str = "auto") -> bytes:
+    """zlib.decompress-compatible one-shot: handles zlib/gzip/raw/auto
+    framing like stream/inflate.decompress and routes the DEFLATE payload
+    through the engine picked by `engine` (see inflate_raw_tpu)."""
     import struct
 
     from ..checksum.adler32 import adler32
@@ -430,7 +448,8 @@ def decompress_tpu(data: bytes, wbits: int = 15,
 
     data = bytes(data)
     if wbits < 0:
-        out, _ = inflate_raw_tpu(data, wbits=-wbits, dictionary=dictionary)
+        out, _ = inflate_raw_tpu(data, wbits=-wbits, dictionary=dictionary,
+                                 engine=engine)
         return out
 
     if wbits >= 32:
@@ -439,7 +458,8 @@ def decompress_tpu(data: bytes, wbits: int = 15,
 
     if wbits >= 16:
         _, pos = H.parse_gzip_header(data)
-        out, bits = inflate_raw_tpu(data[pos:], wbits=(wbits - 16) or 15)
+        out, bits = inflate_raw_tpu(data[pos:], wbits=(wbits - 16) or 15,
+                                    engine=engine)
         pos += (bits + 7) // 8
         if len(data) < pos + 8:
             raise InflateError("unexpected end of stream")
@@ -457,7 +477,8 @@ def decompress_tpu(data: bytes, wbits: int = 15,
         if adler32(dictionary) != dictid:
             raise InflateError("incorrect dictionary")
     out, bits = inflate_raw_tpu(data[pos:], wbits=max(hwbits, 8),
-                                dictionary=dictionary if has_dict else None)
+                                dictionary=dictionary if has_dict else None,
+                                engine=engine)
     pos += (bits + 7) // 8
     if len(data) < pos + 4:
         raise InflateError("unexpected end of stream")

@@ -107,6 +107,7 @@ class RawInflater:
         self.final_block = False
         self.stored_remaining = 0
         self.lit_lut = None
+        self._lut_bufs = None  # reused native LUT buffers (dynamic blocks)
         self.dist_lut = None
         self._lut_list = None  # cached list LUTs for the Python fallback
         self.codes_used = 0  # inflateCodesUsed analog: symbols decoded
@@ -188,6 +189,9 @@ class RawInflater:
         return None
 
     def _read_dynamic_tables(self, save: int):
+        lib = _native()
+        if lib is not None:
+            return self._read_dynamic_tables_native(lib, save)
         # Conservative availability bound: header is at most
         # 14 + 19*3 + 288*(7+7) + 30*(7+7) bits; rather than sizing exactly,
         # roll back and retry whenever bits run out mid-parse.
@@ -255,6 +259,44 @@ class RawInflater:
             self.bitpos = save
             return NEED_INPUT
 
+    def _read_dynamic_tables_native(self, lib, save: int):
+        """Header parse + table validation + LUT fill in one call into the
+        compiled host runtime (zng_read_dyn_header); error codes map to the
+        exact zlib strings of the Python parser."""
+        import ctypes
+
+        if self._lut_bufs is None:
+            self._lut_bufs = (np.empty(1 << 15, dtype=np.int32),
+                              np.empty(1 << 15, dtype=np.int32))
+        lit_buf, dist_buf = self._lut_bufs
+        lengths = np.zeros(318, dtype=np.int32)
+        bp = ctypes.c_long(self.bitpos)
+        hlit = ctypes.c_long(0)
+        hdist = ctypes.c_long(0)
+        dbuf = (ctypes.c_char * len(self.data)).from_buffer(self.data)
+        ret = lib.zng_read_dyn_header(
+            dbuf, len(self.data), ctypes.byref(bp),
+            ctypes.c_void_p(lengths.ctypes.data),
+            ctypes.byref(hlit), ctypes.byref(hdist),
+            ctypes.c_void_p(lit_buf.ctypes.data),
+            ctypes.c_void_p(dist_buf.ctypes.data))
+        del dbuf
+        if ret == 1:
+            self.bitpos = save
+            return NEED_INPUT
+        if ret < 0:
+            raise InflateError({
+                -1: "too many length or distance symbols",
+                -6: "invalid code lengths set",
+                -7: "invalid bit length repeat",
+                -8: "invalid code -- missing end-of-block",
+                -9: "invalid literal/lengths set",
+                -10: "invalid distances set"}[ret])
+        self.bitpos = bp.value
+        self.lit_lut = lit_buf
+        self.dist_lut = dist_buf
+        return None
+
     def _copy_stored(self, finish: bool):
         assert self.bitpos % 8 == 0
         byte = self.bitpos >> 3
@@ -281,10 +323,11 @@ class RawInflater:
         bp = ctypes.c_long(self.bitpos)
         ol = ctypes.c_long(real)
         nc = ctypes.c_long(0)
-        # initial slack: ~8x the remaining compressed bytes, clamped; the
-        # retry loop doubles on underestimate (ret == 2)
+        # initial slack: ~8x the remaining compressed bytes, clamped to a
+        # typical block's output (the retry loop doubles on underestimate,
+        # ret == 2); a large clamp would memset+truncate MBs per block
         grow = max(1 << 12, min((len(self.data) - (self.bitpos >> 3)) * 8,
-                                1 << 22))
+                                1 << 17))
         while True:
             out.extend(bytes(grow))
             grow *= 2
