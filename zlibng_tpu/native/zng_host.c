@@ -280,6 +280,73 @@ long zng_decode_huff(const uint8_t *data, long nbytes, long *bitpos_io,
     const long total_bits = nbytes * 8;
     long ret;
 
+    /* Fast path (inffast_tpl.h:53-298 analog): while a full 56-bit hold is
+     * loadable and a max-length match fits the output, decode without
+     * per-component bounds checks — one unaligned load covers up to three
+     * literals (3x15 bits) or a whole match (15+5+15+13 bits). Any symbol
+     * that needs care (EOB, errors, buffer edges) drops to the careful
+     * loop below, which re-decodes it with full checking. */
+    while (total_bits - bp >= 64 && olen + 258 <= out_cap) {
+        uint64_t hold;
+        memcpy(&hold, data + (bp >> 3), 8);
+        hold >>= (bp & 7);
+        int32_t ent = lit_lut[hold & 0x7FFF];
+        if (ent < 0) break;                      /* careful loop: ret -2 */
+        long nb = ent & 15;
+        long sym = ent >> 4;
+        hold >>= nb;
+        long used = nb;
+        if (sym < 256) {
+            out[olen++] = (uint8_t)sym;
+            ncodes++;
+            ent = lit_lut[hold & 0x7FFF];
+            if (ent >= 0 && (ent >> 4) < 256) {  /* second literal */
+                out[olen++] = (uint8_t)(ent >> 4);
+                ncodes++;
+                nb = ent & 15;
+                hold >>= nb;
+                used += nb;
+                ent = lit_lut[hold & 0x7FFF];
+                if (ent >= 0 && (ent >> 4) < 256) {  /* third literal */
+                    out[olen++] = (uint8_t)(ent >> 4);
+                    ncodes++;
+                    used += ent & 15;
+                }
+            }
+            bp += used;
+            continue;
+        }
+        if (sym >= 256 && sym <= 285 && sym != 256) {
+            long i = sym - 257;
+            long e = LE[i];
+            long length = LB[i] + (long)(hold & ((1u << e) - 1));
+            hold >>= e;
+            used += e;
+            int32_t dent = dist_lut[hold & 0x7FFF];
+            long dsym = dent >> 4;
+            if (dent < 0 || dsym > 29) break;    /* careful loop: ret -3 */
+            long dnb = dent & 15;
+            hold >>= dnb;
+            used += dnb;
+            e = DE[dsym];
+            long dist = DB[dsym] + (long)(hold & ((1u << e) - 1));
+            used += e;
+            if (dist > olen || dist > wsize) break;  /* careful: ret -4 */
+            bp += used;
+            ncodes++;
+            uint8_t *dst = out + olen;
+            const uint8_t *src = dst - dist;
+            if (dist >= 8 && dist >= length) {
+                memcpy(dst, src, (size_t)length);
+            } else {
+                for (long k = 0; k < length; k++) dst[k] = src[k];
+            }
+            olen += length;
+            continue;
+        }
+        break;                       /* EOB or invalid: careful loop */
+    }
+
     for (;;) {
         if (total_bits - bp < 48 && !finish) { ret = 1; break; }
         /* 56-bit refill (inffast_tpl.h:142-147 analog) */

@@ -273,7 +273,10 @@ class RawInflater:
         bp = ctypes.c_long(self.bitpos)
         hlit = ctypes.c_long(0)
         hdist = ctypes.c_long(0)
-        dbuf = (ctypes.c_char * len(self.data)).from_buffer(self.data)
+        # address without building a (c_char * n) array TYPE (that is ~100us
+        # of class creation per call); the buffer is pinned by `anchor`
+        anchor = ctypes.c_char.from_buffer(self.data)
+        dbuf = ctypes.c_void_p(ctypes.addressof(anchor))
         ret = lib.zng_read_dyn_header(
             dbuf, len(self.data), ctypes.byref(bp),
             ctypes.c_void_p(lengths.ctypes.data),
@@ -331,15 +334,17 @@ class RawInflater:
         while True:
             out.extend(bytes(grow))
             grow *= 2
-            dbuf = (ctypes.c_char * len(self.data)).from_buffer(self.data)
-            obuf = (ctypes.c_char * len(out)).from_buffer(out)
+            danchor = ctypes.c_char.from_buffer(self.data)
+            oanchor = ctypes.c_char.from_buffer(out)
             ret = lib.zng_decode_huff(
-                dbuf, len(self.data), ctypes.byref(bp),
+                ctypes.c_void_p(ctypes.addressof(danchor)), len(self.data),
+                ctypes.byref(bp),
                 ctypes.c_void_p(lit_np.ctypes.data),
                 ctypes.c_void_p(dist_np.ctypes.data),
-                obuf, len(out), ctypes.byref(ol),
+                ctypes.c_void_p(ctypes.addressof(oanchor)), len(out),
+                ctypes.byref(ol),
                 self.window_size, int(finish), ctypes.byref(nc))
-            del dbuf, obuf
+            del danchor, oanchor
             real = ol.value
             if ret != 2:
                 break
