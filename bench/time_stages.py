@@ -53,7 +53,14 @@ timed("hash+argsort", hash_sort, lanes_d)
 
 full = jax.jit(jax.vmap(lambda d: L.lz77_lane(
     d, jnp.int32(32768), jnp.int32(LANE), jnp.int32(0), 8, True, 16, 128)))
-outs = timed("lz77_lane chain=8", full, lanes_d)
+core = timed("lz77_lane chain=8", full, lanes_d)
+
+from zlibng_tpu.ops.parse_pallas import parse_select
+bounds = jnp.asarray(np.tile(np.array([32768, LANE], np.int32), (B, 1)))
+sel = timed("parse_select", jax.jit(parse_select), core["step"], bounds)
+
+fin = jax.jit(L.finalize_tokens)
+outs = timed("finalize_tokens", fin, lanes_d, core, sel)
 
 freqs = jax.jit(jax.vmap(lambda a, b, c, d: L.lane_freqs(a, b, c, d)))
 timed("lane_freqs", freqs, outs["lsym"], outs["dsym"], outs["sel"],
