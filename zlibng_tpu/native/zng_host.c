@@ -347,8 +347,11 @@ long zng_decode_huff(const uint8_t *data, long nbytes, long *bitpos_io,
         break;                       /* EOB or invalid: careful loop */
     }
 
+    /* Careful tail loop: decodes right up to the last available bit —
+     * every component rolls back to the symbol start and returns 1 when
+     * bits run out, so streaming callers see end-of-stream (and trailers)
+     * as soon as the final block's EOB is decodable, like zlib. */
     for (;;) {
-        if (total_bits - bp < 48 && !finish) { ret = 1; break; }
         /* 56-bit refill (inffast_tpl.h:142-147 analog) */
         uint64_t hold;
         long byte = bp >> 3;
@@ -392,9 +395,12 @@ long zng_decode_huff(const uint8_t *data, long nbytes, long *bitpos_io,
         int32_t dent = dist_lut[hold & 0x7FFF];
         long dsym = dent >> 4;
         if (dent < 0 || dsym > 29) {
-            /* note: the symbol stays counted in ncodes, matching the
-             * Python hot loop's codes_used bookkeeping exactly */
-            if (bp + 15 > total_bits && !finish) { bp -= used; ret = 1; break; }
+            /* NEED_INPUT rollback un-counts the symbol (it will be decoded
+             * again); the error path keeps it counted, matching the Python
+             * hot loop's codes_used bookkeeping exactly */
+            if (bp + 15 > total_bits && !finish) {
+                bp -= used; ncodes--; ret = 1; break;
+            }
             ret = -3; break;
         }
         long dnb = dent & 15;

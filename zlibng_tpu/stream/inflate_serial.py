@@ -380,9 +380,8 @@ class RawInflater:
         ncodes = 0
         try:
             while True:
-                if total_bits - bitpos < 48 and not finish:
-                    return NEED_INPUT
-                # decode literal/length symbol
+                # decode literal/length symbol (per-component rollbacks
+                # below handle input exhaustion exactly, like the C loop)
                 hold = int.from_bytes(data[bitpos >> 3:(bitpos >> 3) + 7],
                                       "little") >> (bitpos & 7)
                 entry = lit_lut[hold & 0x7FFF]
@@ -421,6 +420,7 @@ class RawInflater:
                 if dentry < 0 or (dentry >> 4) > 29:
                     if bitpos + 15 > total_bits and not finish:
                         bitpos -= used
+                        ncodes -= 1       # symbol will be re-decoded
                         return NEED_INPUT
                     raise InflateError("invalid distance code")
                 dnb = dentry & 15
@@ -436,6 +436,7 @@ class RawInflater:
                     if finish:
                         raise InflateError("unexpected end of stream")
                     bitpos -= used
+                    ncodes -= 1           # symbol will be re-decoded
                     return NEED_INPUT
                 if dist > len(out) or dist > wsize:
                     raise InflateError("invalid distance too far back")
