@@ -70,6 +70,7 @@ def lib():
             ctypes.POINTER(ctypes.c_long),                  # hlit
             ctypes.POINTER(ctypes.c_long),                  # hdist
             ctypes.c_void_p, ctypes.c_void_p,               # lit/dist LUTs
+            ctypes.c_void_p,                                # lut_bits[2]
         ]
         lb.zng_decode_huff.restype = ctypes.c_long
         lb.zng_decode_huff.argtypes = [
@@ -80,6 +81,7 @@ def lib():
             ctypes.POINTER(ctypes.c_long),                  # out_len
             ctypes.c_long, ctypes.c_int,                    # wsize, finish
             ctypes.POINTER(ctypes.c_long),                  # ncodes
+            ctypes.c_int, ctypes.c_int,                     # lit/dist bits
         ]
         _lib = lb
         return lb

@@ -170,10 +170,17 @@ static int zng_validate(const int32_t *lengths, long nsyms, int kind) {
     return 0;
 }
 
+static int zng_max_len(const int32_t *lengths, long nsyms) {
+    int m = 1;
+    for (long s = 0; s < nsyms; s++)
+        if (lengths[s] > m) m = (int)lengths[s];
+    return m;
+}
+
 long zng_read_dyn_header(const uint8_t *data, long nbytes, long *bitpos_io,
                          int32_t *lengths_out, long *hlit_io,
                          long *hdist_io, int32_t *lit_lut,
-                         int32_t *dist_lut) {
+                         int32_t *dist_lut, int32_t *lut_bits_io) {
     long bp = *bitpos_io;
     const long total = nbytes * 8;
     if (total - bp < 14) return 1;
@@ -237,8 +244,15 @@ long zng_read_dyn_header(const uint8_t *data, long nbytes, long *bitpos_io,
     if (lengths_out[256] == 0) return -8;
     if (zng_validate(lengths_out, hlit, 1)) return -9;
     if (zng_validate(lengths_out + hlit, hdist, 2)) return -10;
-    zng_fill_lut(lengths_out, hlit, 15, lit_lut);
-    zng_fill_lut(lengths_out + hlit, hdist, 15, dist_lut);
+    /* variable-width flat LUTs: fill only 2^maxlen entries (the analog of
+     * inftrees.c sizing root tables by the actual code-length profile);
+     * the decode loop masks its peek by the table width */
+    int lit_bits = zng_max_len(lengths_out, hlit);
+    int dist_bits = zng_max_len(lengths_out + hlit, hdist);
+    zng_fill_lut(lengths_out, hlit, lit_bits, lit_lut);
+    zng_fill_lut(lengths_out + hlit, hdist, dist_bits, dist_lut);
+    lut_bits_io[0] = lit_bits;
+    lut_bits_io[1] = dist_bits;
     *bitpos_io = bp;
     *hlit_io = hlit;
     *hdist_io = hdist;
@@ -273,11 +287,14 @@ static const uint8_t  DE[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,7,7,8,8,9,9,
 long zng_decode_huff(const uint8_t *data, long nbytes, long *bitpos_io,
                      const int32_t *lit_lut, const int32_t *dist_lut,
                      uint8_t *out, long out_cap, long *out_len_io,
-                     long wsize, int finish, long *ncodes_io) {
+                     long wsize, int finish, long *ncodes_io,
+                     int lit_bits, int dist_bits) {
     long bp = *bitpos_io;
     long olen = *out_len_io;
     long ncodes = 0;
     const long total_bits = nbytes * 8;
+    const uint32_t lmask = (1u << lit_bits) - 1u;
+    const uint32_t dmask = (1u << dist_bits) - 1u;
     long ret;
 
     /* Fast path (inffast_tpl.h:53-298 analog): while a full 56-bit hold is
@@ -290,7 +307,7 @@ long zng_decode_huff(const uint8_t *data, long nbytes, long *bitpos_io,
         uint64_t hold;
         memcpy(&hold, data + (bp >> 3), 8);
         hold >>= (bp & 7);
-        int32_t ent = lit_lut[hold & 0x7FFF];
+        int32_t ent = lit_lut[hold & lmask];
         if (ent < 0) break;                      /* careful loop: ret -2 */
         long nb = ent & 15;
         long sym = ent >> 4;
@@ -299,14 +316,14 @@ long zng_decode_huff(const uint8_t *data, long nbytes, long *bitpos_io,
         if (sym < 256) {
             out[olen++] = (uint8_t)sym;
             ncodes++;
-            ent = lit_lut[hold & 0x7FFF];
+            ent = lit_lut[hold & lmask];
             if (ent >= 0 && (ent >> 4) < 256) {  /* second literal */
                 out[olen++] = (uint8_t)(ent >> 4);
                 ncodes++;
                 nb = ent & 15;
                 hold >>= nb;
                 used += nb;
-                ent = lit_lut[hold & 0x7FFF];
+                ent = lit_lut[hold & lmask];
                 if (ent >= 0 && (ent >> 4) < 256) {  /* third literal */
                     out[olen++] = (uint8_t)(ent >> 4);
                     ncodes++;
@@ -322,7 +339,7 @@ long zng_decode_huff(const uint8_t *data, long nbytes, long *bitpos_io,
             long length = LB[i] + (long)(hold & ((1u << e) - 1));
             hold >>= e;
             used += e;
-            int32_t dent = dist_lut[hold & 0x7FFF];
+            int32_t dent = dist_lut[hold & dmask];
             long dsym = dent >> 4;
             if (dent < 0 || dsym > 29) break;    /* careful loop: ret -3 */
             long dnb = dent & 15;
@@ -365,7 +382,7 @@ long zng_decode_huff(const uint8_t *data, long nbytes, long *bitpos_io,
         }
         hold >>= (bp & 7);
 
-        int32_t ent = lit_lut[hold & 0x7FFF];
+        int32_t ent = lit_lut[hold & lmask];
         if (ent < 0) {
             if (bp + 15 > total_bits && !finish) { ret = 1; break; }
             ret = -2; break;
@@ -392,7 +409,7 @@ long zng_decode_huff(const uint8_t *data, long nbytes, long *bitpos_io,
         long length = LB[i] + (long)(hold & ((1u << e) - 1));
         hold >>= e; used += e; bp += e;
 
-        int32_t dent = dist_lut[hold & 0x7FFF];
+        int32_t dent = dist_lut[hold & dmask];
         long dsym = dent >> 4;
         if (dent < 0 || dsym > 29) {
             /* NEED_INPUT rollback un-counts the symbol (it will be decoded

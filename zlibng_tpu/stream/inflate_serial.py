@@ -64,6 +64,11 @@ _FIXED_LIT_LUT = build_packed_lut(FIXED_LIT_LENGTHS, LENS, max_len=15)
 _FIXED_DIST_LUT = build_packed_lut(np.full(32, 5, dtype=np.int32), DISTS,
                                    max_len=15)
 _FIXED_LUT_LIST = (_FIXED_LIT_LUT.tolist(), _FIXED_DIST_LUT.tolist())
+# Native-width fixed tables (the hot loop masks by table width, so the
+# 9-bit lit / 5-bit dist tables stay L1-resident)
+_FIXED_LIT_LUT9 = build_packed_lut(FIXED_LIT_LENGTHS, LENS, max_len=9)
+_FIXED_DIST_LUT5 = build_packed_lut(np.full(32, 5, dtype=np.int32), DISTS,
+                                    max_len=5)
 
 
 _native_lib = None
@@ -109,6 +114,7 @@ class RawInflater:
         self.lit_lut = None
         self._lut_bufs = None  # reused native LUT buffers (dynamic blocks)
         self.dist_lut = None
+        self._lut_bits = (15, 15)  # table widths for the native peek masks
         self._lut_list = None  # cached list LUTs for the Python fallback
         self.codes_used = 0  # inflateCodesUsed analog: symbols decoded
 
@@ -134,7 +140,9 @@ class RawInflater:
 
     def output(self) -> bytes:
         """Decoded bytes (excluding any preset dictionary prefix)."""
-        return bytes(self.out[self.dict_len:])
+        if self.dict_len == 0:
+            return bytes(self.out)
+        return bytes(memoryview(self.out)[self.dict_len:])
 
     # -- main loop ----------------------------------------------------------
     def run(self, finish: bool = False) -> str:
@@ -174,8 +182,14 @@ class RawInflater:
             self.stored_remaining = length
             self.state = _S_STORED
         elif btype == 1:
-            self.lit_lut = _FIXED_LIT_LUT
-            self.dist_lut = _FIXED_DIST_LUT
+            if _native() is not None:
+                self.lit_lut = _FIXED_LIT_LUT9
+                self.dist_lut = _FIXED_DIST_LUT5
+                self._lut_bits = (9, 5)
+            else:
+                self.lit_lut = _FIXED_LIT_LUT
+                self.dist_lut = _FIXED_DIST_LUT
+                self._lut_bits = (15, 15)
             self._lut_list = _FIXED_LUT_LIST
             self.state = _S_HUFF
         elif btype == 2:
@@ -254,6 +268,7 @@ class RawInflater:
                 self.dist_lut = build_packed_lut(lengths[hlit:], DISTS, max_len=15)
             except InvalidCodeError:
                 raise InflateError("invalid distances set")
+            self._lut_bits = (15, 15)
             return None
         except _Rollback:
             self.bitpos = save
@@ -270,6 +285,7 @@ class RawInflater:
                               np.empty(1 << 15, dtype=np.int32))
         lit_buf, dist_buf = self._lut_bufs
         lengths = np.zeros(318, dtype=np.int32)
+        lut_bits = np.zeros(2, dtype=np.int32)
         bp = ctypes.c_long(self.bitpos)
         hlit = ctypes.c_long(0)
         hdist = ctypes.c_long(0)
@@ -282,7 +298,8 @@ class RawInflater:
             ctypes.c_void_p(lengths.ctypes.data),
             ctypes.byref(hlit), ctypes.byref(hdist),
             ctypes.c_void_p(lit_buf.ctypes.data),
-            ctypes.c_void_p(dist_buf.ctypes.data))
+            ctypes.c_void_p(dist_buf.ctypes.data),
+            ctypes.c_void_p(lut_bits.ctypes.data))
         del dbuf
         if ret == 1:
             self.bitpos = save
@@ -298,6 +315,7 @@ class RawInflater:
         self.bitpos = bp.value
         self.lit_lut = lit_buf
         self.dist_lut = dist_buf
+        self._lut_bits = (int(lut_bits[0]), int(lut_bits[1]))
         return None
 
     def _copy_stored(self, finish: bool):
@@ -343,7 +361,8 @@ class RawInflater:
                 ctypes.c_void_p(dist_np.ctypes.data),
                 ctypes.c_void_p(ctypes.addressof(oanchor)), len(out),
                 ctypes.byref(ol),
-                self.window_size, int(finish), ctypes.byref(nc))
+                self.window_size, int(finish), ctypes.byref(nc),
+                self._lut_bits[0], self._lut_bits[1])
             del danchor, oanchor
             real = ol.value
             if ret != 2:
