@@ -196,3 +196,21 @@ def test_auto_detect_stream():
     for blob in (zlib.compress(TEXT), gz.compress(TEXT)):
         inf = Inflate(wbits=47)
         assert inf.decompress(blob, finish=True) == TEXT
+
+
+def test_deflate_tune_per_stream():
+    """deflateTune overrides are per-stream (deflate.c:679-690 stores them
+    in deflate_state): tuning one stream must not change another's output
+    or the global level table."""
+    from zlibng_tpu.stream import deflate as D
+    before = dict(D.LEVELS)
+    d1 = Deflate(level=6)
+    d1.tune(8, 4, 16, 2)  # good, lazy, nice, chain — much weaker matching
+    out_tuned = d1.compress(TEXT, Z_FINISH)
+    assert zlib.decompress(out_tuned) == TEXT
+    assert D.LEVELS == before  # no global leak
+    d2 = Deflate(level=6)
+    out_default = d2.compress(TEXT, Z_FINISH)
+    assert zlib.decompress(out_default) == TEXT
+    # weaker tuning should not produce smaller output than the default
+    assert len(out_tuned) >= len(out_default)

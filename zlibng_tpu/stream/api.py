@@ -75,6 +75,7 @@ class Deflate:
         self._bit_hold = 0           # pending sub-byte bits (LSB-first)
         self._bit_count = 0
         self._dict = None
+        self._tune = None            # deflateTune per-stream override
         if dictionary is not None:
             self.set_dictionary(dictionary)
 
@@ -105,10 +106,13 @@ class Deflate:
             self.strategy = strategy
 
     def tune(self, good: int, lazy: int, nice: int, chain: int) -> None:
-        """deflateTune (deflate.c:679-690): expert match-engine knobs."""
+        """deflateTune (deflate.c:679-690): expert match-engine knobs.
+        Per-stream override (the reference stores these in deflate_state);
+        `good` has no engine analog — chain-quartering above good_length is
+        subsumed by the fixed candidate budget."""
         lc = D.LEVELS[max(1, min(9, self.level))]
-        D.LEVELS[max(1, min(9, self.level))] = D.LevelConfig(
-            chain=chain, lazy=lc.lazy, max_lazy=lazy, nice=nice)
+        self._tune = D.LevelConfig(chain=chain, lazy=lc.lazy, max_lazy=lazy,
+                                   nice=nice)
 
     def set_header(self, header: H.GzipHeader) -> None:
         """deflateSetHeader: custom gzip header fields."""
@@ -237,7 +241,13 @@ class Deflate:
         vdata = np.frombuffer(self._window + payload, np.uint8)
         bs = len(self._window)
         be = len(vdata)
-        cfg = D._match_config(self.level, self.strategy)
+        if self._tune is not None:
+            from ..lz77.engine import MatchConfig
+            t = self._tune
+            cfg = MatchConfig(chain=t.chain, lazy=t.lazy,
+                              max_lazy=t.max_lazy, nice=t.nice)
+        else:
+            cfg = D._match_config(self.level, self.strategy)
         if len(payload) == 0:
             sv = np.zeros(0, np.int32)
             sl = sv

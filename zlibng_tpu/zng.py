@@ -124,6 +124,13 @@ Z_DEFLATE_STRATEGY = 1
 Z_DEFLATE_REPRODUCIBLE = 2
 
 
+class zng_deflate_param:
+    """zlib-ng.h.in:1802-1812 enum; values usable in Set/GetParams dicts."""
+    Z_DEFLATE_LEVEL = Z_DEFLATE_LEVEL
+    Z_DEFLATE_STRATEGY = Z_DEFLATE_STRATEGY
+    Z_DEFLATE_REPRODUCIBLE = Z_DEFLATE_REPRODUCIBLE
+
+
 def zng_deflateSetParams(strm: Deflate, params: dict) -> None:
     """zlib-ng.h.in:1822; keys: level/strategy/reproducible. Output here is
     always a pure function of (input, parameters), so reproducible=True is
