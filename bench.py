@@ -77,6 +77,19 @@ def main():
     except Exception:
         pass
 
+    # regression guard: the device batch decoder must handle a plain zlib
+    # stream itself (no serial fallback) — catches table-layout drift
+    # between the host parser and the phase-A kernels (round-1 incident)
+    from zlibng_tpu.ops import inflate_tpu as _itpu
+    before = dict(_itpu.stats)
+    small = corpus[:200_000]
+    out = _itpu.decompress_tpu(zlib.compress(small, 6), engine="device")
+    assert out == small
+    assert _itpu.stats["device_ok"] == before["device_ok"] + 1, \
+        "device decode path fell back to serial"
+    assert _itpu.stats["fallback"] == before["fallback"], \
+        "device decode path fell back to serial"
+
     # secondary levels (warm the per-level compile on a prefix first so the
     # number is steady-state throughput, like the L6 headline and baseline)
     lvl_extra = {}

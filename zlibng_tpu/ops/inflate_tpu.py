@@ -85,10 +85,13 @@ class _Fallback(Exception):
 # phase A — batched speculative token resolution
 # ---------------------------------------------------------------------------
 @jax.jit
-def _phase_a(lane_bytes, lit_luts, dist_luts, start_bits):
+def _phase_a(lane_bytes, lit_luts, dist_luts, start_bits, lit_masks,
+             dist_masks):
     """lane_bytes (B, CB) u8; luts (B, 32768) i32 packed sym<<4|nbits (<0
-    invalid); start_bits (B,) i32 bit offset of the first symbol.
-    Returns compacted per-lane token arrays + counts."""
+    invalid), only the first lit_masks[b]+1 / dist_masks[b]+1 entries of
+    lane b are valid (variable-width tables, the flat analog of
+    inftrees.c:30-295 root-bits sizing); start_bits (B,) i32 bit offset of
+    the first symbol. Returns compacted per-lane token arrays + counts."""
     B, CB = lane_bytes.shape
     N = CB * 8
     NP_ = N + 64
@@ -105,8 +108,10 @@ def _phase_a(lane_bytes, lit_luts, dist_luts, start_bits):
 
     pos = jnp.arange(N, dtype=I32)[None, :]
 
-    # literal/length decode at every position (one LUT gather)
-    ent = jnp.take_along_axis(lit_luts, peek[:, :N] & 0x7FFF, axis=1)
+    # literal/length decode at every position (one LUT gather, masked to
+    # each lane's table width)
+    ent = jnp.take_along_axis(lit_luts, peek[:, :N] & lit_masks[:, None],
+                              axis=1)
     nb = ent & 15
     sym = ent >> 4
     invalid = ent < 0
@@ -123,7 +128,7 @@ def _phase_a(lane_bytes, lit_luts, dist_luts, start_bits):
 
     # distance decode at the post-length position (dynamic-offset gathers)
     dq = jnp.minimum(q + e_l, NP_ - 1)
-    dpk = jnp.take_along_axis(peek, dq, axis=1) & 0x7FFF
+    dpk = jnp.take_along_axis(peek, dq, axis=1) & dist_masks[:, None]
     dent = jnp.take_along_axis(dist_luts, dpk, axis=1)
     dnb = dent & 15
     dsym = dent >> 4
@@ -243,7 +248,13 @@ def _parse_header(inf: RawInflater, cur: _Cursor):
         cur.pos = inf.bitpos + 8 * length
         return ("stored", start_byte, length)
     assert inf.state == _S_HUFF
-    return ("huff", inf.lit_lut, inf.dist_lut, inf.bitpos)
+    # Copy the valid (variable-width) prefix of each table: the native
+    # parser reuses its LUT buffers across blocks, so the arrays on `inf`
+    # alias the NEXT parse by the time lanes are batched for dispatch.
+    wl, wd = inf._lut_bits
+    lit = np.array(inf.lit_lut[:1 << wl], dtype=np.int32)
+    dist = np.array(inf.dist_lut[:1 << wd], dtype=np.int32)
+    return ("huff", lit, dist, (wl, wd), inf.bitpos)
 
 
 def _advance_host(inf: RawInflater, cur: _Cursor):
@@ -338,18 +349,24 @@ def _decode_segments(comp: bytes, seg_bounds, dictionary: bytes | None,
             lits = np.zeros((Bpad, 1 << 15), np.int32)
             dists = np.zeros((Bpad, 1 << 15), np.int32)
             starts = np.zeros(Bpad, np.int32)
+            # default mask 0 for padding lanes (reads only entry 0)
+            lit_masks = np.zeros(Bpad, np.int32)
+            dist_masks = np.zeros(Bpad, np.int32)
             meta = []
-            for i, (cur, (_, lit, dist, sym_bit)) in enumerate(group):
+            for i, (cur, (_, lit, dist, (wl, wd), sym_bit)) in enumerate(group):
                 base_byte = sym_bit >> 3
                 chunk = comp_np[base_byte:base_byte + cb]
                 lanes[i, :chunk.size] = chunk
-                lits[i] = lit
-                dists[i] = dist
+                lits[i, :lit.size] = lit
+                dists[i, :dist.size] = dist
+                lit_masks[i] = (1 << wl) - 1
+                dist_masks[i] = (1 << wd) - 1
                 starts[i] = sym_bit - 8 * base_byte
                 meta.append((cur, 8 * base_byte, 8 * chunk.size))
             tk, tl, td, te, nt = _phase_a(
                 jnp.asarray(lanes), jnp.asarray(lits), jnp.asarray(dists),
-                jnp.asarray(starts))
+                jnp.asarray(starts), jnp.asarray(lit_masks),
+                jnp.asarray(dist_masks))
             tk, tl, td, te, nt = (np.asarray(tk), np.asarray(tl),
                                   np.asarray(td), np.asarray(te),
                                   np.asarray(nt))
@@ -411,6 +428,10 @@ def _decode_segments(comp: bytes, seg_bounds, dictionary: bytes | None,
 # multi-segment inputs batch many blocks per dispatch and stay on device.
 _DEVICE_SINGLE_MAX = 1 << 20
 
+# Routing/result counters (bench.py asserts device_ok > 0 after its decode
+# pass so a silent everything-falls-back regression cannot ship again).
+stats = {"device_ok": 0, "fallback": 0, "host_routed": 0}
+
 
 def inflate_raw_tpu(data: bytes, wbits: int = 15,
                     dictionary: bytes | None = None, engine: str = "auto"):
@@ -424,13 +445,16 @@ def inflate_raw_tpu(data: bytes, wbits: int = 15,
     data = bytes(data)
     if engine == "host" or (engine == "auto" and len(data) > _DEVICE_SINGLE_MAX):
         from ..stream.inflate_serial import inflate_raw
+        stats["host_routed"] += 1
         return inflate_raw(data, wbits=wbits, dictionary=dictionary)
     try:
         outs, ends = _decode_segments(data, [(0, None)], dictionary,
                                       1 << wbits)
+        stats["device_ok"] += 1
         return outs[0], ends[0]
     except (_Fallback, InflateError):
         from ..stream.inflate_serial import inflate_raw
+        stats["fallback"] += 1
         return inflate_raw(data, wbits=wbits, dictionary=dictionary)
 
 
@@ -502,8 +526,10 @@ def decompress_segments_tpu(blob: bytes, start_bytes) -> list[bytes]:
         bounds.append((8 * s, end))
     try:
         outs, _ = _decode_segments(blob, bounds, None, 1 << 15)
+        stats["device_ok"] += 1
         return outs
     except (_Fallback, InflateError):
+        stats["fallback"] += 1
         from ..stream.inflate_serial import RawInflater
         outs = []
         ends = starts[1:] + [len(blob)]
