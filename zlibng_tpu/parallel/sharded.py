@@ -66,7 +66,6 @@ def _lane_adler(lane: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray)
     # block the modular sums to stay in uint32
     CH = 2048
     bs = b.reshape(-1, CH)
-    ws = w.reshape(-1, CH) if N % CH == 0 else None
     s1 = (bs.sum(axis=1) % base)
     s2 = ((b * w).reshape(-1, CH).sum(axis=1) % base)
     while s1.shape[0] > 1:

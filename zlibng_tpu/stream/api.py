@@ -76,6 +76,7 @@ class Deflate:
         self._bit_count = 0
         self._dict = None
         self._tune = None            # deflateTune per-stream override
+        self.data_type = D.Z_UNKNOWN  # strm->data_type (set on first block)
         if dictionary is not None:
             self.set_dictionary(dictionary)
 
@@ -123,8 +124,9 @@ class Deflate:
         self.gzip_header = header
 
     def bound(self, n: int) -> int:
-        """deflateBound."""
-        return D.compress_bound(n, self.wbits)
+        """deflateBound (tight: level and dictionary state are known)."""
+        return D.compress_bound(n, self.wbits, level=self.level,
+                                has_dict=self._dict is not None)
 
     def pending(self):
         """deflatePending: (pending bytes, pending bits)."""
@@ -230,8 +232,7 @@ class Deflate:
         while len(self._inbuf) >= self.block_size:
             self._compress_one_block(final=False)
         if self._inbuf or final:
-            if self._inbuf or final:
-                self._compress_one_block(final=final)
+            self._compress_one_block(final=final)
 
     def _encode_block(self, payload: bytes, final: bool) -> None:
         """Encode one block with the array engine, window as history."""
@@ -254,6 +255,12 @@ class Deflate:
             sd = sv
         else:
             sv, sl, sd = D._tokenize_block(vdata, bs, be, cfg, self.strategy)
+        if self.data_type == D.Z_UNKNOWN and sv.size:
+            # TEXT/BINARY from the first block's literal tallies, once,
+            # level>0 only — exactly when zng_tr_flush_block does
+            lits = sv[sl == 0]
+            self.data_type = D.detect_data_type(
+                np.bincount(lits, minlength=256))
         raw = vdata[bs:be]
         values, nbits, _ = D._emit_block(
             raw, sv, sl, sd, final, (self.total_out_bits_mod8()), self.strategy)
@@ -402,6 +409,11 @@ class Inflate:
                 else:
                     hw, has_dict, dictid, pos = H.parse_zlib_header(bytes(self._hdr))
                     self._dictid = dictid
+                    req = self.wbits & 15
+                    if req and hw > req:
+                        # stream declares a bigger window than requested
+                        # (inflate.c:638-644)
+                        raise DataError("invalid window size")
                     if has_dict:
                         if self._dict is None:
                             self._need_dict = True
@@ -412,8 +424,15 @@ class Inflate:
                 return b""
             rest = bytes(self._hdr[pos:])
             self._hdr = bytearray()
+            # strict distance checking against the stream's own declared
+            # window (inflate.c:904-911 INFLATE_STRICT dmax = 1 << len);
+            # gzip members have no declared size → requested (or 32K)
+            if self._mode == "zlib":
+                win = max(hw, 8)
+            else:
+                win = (self.wbits & 15) or 15
             self._raw = RawInflater(
-                wbits=15, dictionary=self._dict if self._mode == "zlib" else None)
+                wbits=win, dictionary=self._dict if self._mode == "zlib" else None)
             buf = rest + buf
 
         if self._lead_n and (buf or finish):

@@ -37,6 +37,27 @@ Z_HUFFMAN_ONLY = 2
 Z_RLE = 3
 Z_FIXED = 4
 
+# data_type values (zlib-ng.h.in:206-209)
+Z_BINARY = 0
+Z_TEXT = 1
+Z_UNKNOWN = 2
+
+# Bytes 0..31 that mark a block as binary (trees.c:756-780 black list:
+# bits 0..6, 14..25, 28..31; 7/8/11/12/26/27 are tolerated "gray" codes,
+# 9/10/13 — TAB/LF/CR — are textual)
+_BLACKLIST = np.array([(0xF3FFC07F >> i) & 1 for i in range(32)], dtype=bool)
+
+
+def detect_data_type(lit_freq: np.ndarray) -> int:
+    """TEXT/BINARY heuristic over a block's literal byte frequencies
+    (detect_data_type, trees.c:756-780)."""
+    if (lit_freq[:32][_BLACKLIST] > 0).any():
+        return Z_BINARY
+    if lit_freq[9] or lit_freq[10] or lit_freq[13] \
+            or (lit_freq[32:256] > 0).any():
+        return Z_TEXT
+    return Z_BINARY  # empty or gray-listed bytes only
+
 DEFAULT_BLOCK = 1 << 16  # input bytes per deflate block
 
 
@@ -70,12 +91,36 @@ def _match_config(level: int, strategy: int) -> MatchConfig:
                        nice=lc.nice, max_len=MAX_MATCH)
 
 
-def compress_bound(n: int, wbits: int = 15) -> int:
-    """Worst-case compressed size (deflateBound analog, deflate.c:709-781):
-    stored-block expansion + wrapper overhead."""
-    wrap = 6 if 0 < wbits <= 15 else (18 + 8 if wbits > 15 else 0)
+def compress_bound(n: int, wbits: int = 15, level: int | None = None,
+                   has_dict: bool = False) -> int:
+    """Worst-case compressed size (deflateBound analog, deflate.c:709-781).
+
+    Wrapper lengths per zutil.h:68-69 (zlib 6 [+4 DICTID], gzip 18). For
+    known level the bound is tight against THIS encoder's worst case: the
+    per-block chooser (trees.c:657-692 analog in _emit_block) caps every
+    block at min(stored, static), so ≥1 levels never exceed 9 bits/literal
+    (static literal codes are ≤9 bits; a match always costs less than 9
+    bits/byte — worst is a 3-byte match at 25 bits) plus per-block
+    header+EOB; level 0 is stored blocks of ≤65535 bytes (5 bytes each).
+    Unknown level gets the conservative formula, like the reference's
+    non-default-parameter branch (deflate.c:759-768)."""
+    if 0 < wbits <= 15:
+        wrap = 6 + (4 if has_dict else 0)
+    elif wbits > 15:
+        wrap = 18
+    else:
+        wrap = 0
+    blocks = n // DEFAULT_BLOCK + 1
+    if level == 0:
+        # each 64 KiB input block stores as a 65535+1-byte stored pair in
+        # the streaming path: two 5-byte headers per block, plus slack
+        return n + 10 * blocks + 7 + wrap
+    if level is not None:
+        # ceil(9n/8) + per-block (3-bit header + ≤9-bit EOB + dynamic-header
+        # worst case never chosen over static) + alignment slack
+        return n + ((n + 7) >> 3) + 4 * blocks + 10 + wrap
     # conservative: len + len/8 + len/64 + 11 per started block + wrapper
-    return n + (n >> 3) + (n >> 6) + 11 * (n // DEFAULT_BLOCK + 1) + wrap + 10
+    return n + (n >> 3) + (n >> 6) + 11 * blocks + wrap + 10
 
 
 # ---------------------------------------------------------------------------

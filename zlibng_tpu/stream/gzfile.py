@@ -29,7 +29,9 @@ class GzFile:
         if fileobj is not None:
             self.f = fileobj
         else:
-            self.f = open(path, self.mode + ("ab"[-1] if "a" in mode else "b"))
+            # gzopen(path, "a") appends a new gzip member to the existing
+            # file (gzlib.c:95-180); multi-member read joins them.
+            self.f = open(path, ("a" if "a" in mode else self.mode) + "b")
         self.bufsize = bufsize
         self.level = level
         self.strategy = strategy
@@ -253,5 +255,5 @@ def gzopen(path, mode: str = "rb", **kw) -> GzFile:
 
 
 def gzdopen(fd: int, mode: str = "rb", **kw) -> GzFile:
-    return GzFile(fileobj=os.fdopen(fd, ("w" if "w" in mode else "r") + "b"),
-                  mode=mode, **kw)
+    fm = "a" if "a" in mode else ("w" if "w" in mode else "r")
+    return GzFile(fileobj=os.fdopen(fd, fm + "b"), mode=mode, **kw)

@@ -59,6 +59,9 @@ def decompress_member(data: bytes, wbits: int = 15,
 
     # zlib
     hwbits, has_dict, dictid, pos = H.parse_zlib_header(data)
+    if wbits and hwbits > wbits:
+        # requested window smaller than the stream's (inflate.c:638-644)
+        raise InflateError("invalid window size")
     if has_dict:
         if dictionary is None:
             raise InflateError("preset dictionary needed")

@@ -33,6 +33,8 @@ from ..errors import DataError as InflateError  # Z_DATA_ERROR; .msg matches zli
 # Decoder progress results
 NEED_INPUT = "need_input"
 STREAM_END = "stream_end"
+BLOCK_BOUNDARY = "block_boundary"  # Z_BLOCK stop: a block just completed
+TREES_DONE = "trees"               # Z_TREES stop: block header just parsed
 
 # Internal states
 _S_BLOCK_HEADER = 0
@@ -145,15 +147,24 @@ class RawInflater:
         return bytes(memoryview(self.out)[self.dict_len:])
 
     # -- main loop ----------------------------------------------------------
-    def run(self, finish: bool = False) -> str:
+    def run(self, finish: bool = False, stop: str | None = None) -> str:
         """Decode until out of input (NEED_INPUT) or final block done
         (STREAM_END). Raises InflateError on corrupt data; if `finish` and
-        input is exhausted mid-stream, raises InflateError('unexpected end')."""
+        input is exhausted mid-stream, raises InflateError('unexpected end').
+
+        stop — Z_BLOCK/Z_TREES analog (inflate.c:722,746,773,920):
+        'block' returns BLOCK_BOUNDARY when a block completes during this
+        call (never on entry — inflate.c:501 promotes TYPE to TYPEDO so a
+        stopped stream resumes); 'trees' additionally returns TREES_DONE
+        right after any block header is parsed, before block data."""
         while True:
             if self.state == _S_DONE:
                 return STREAM_END
             if self.state == _S_BLOCK_HEADER:
                 r = self._read_block_header(finish)
+                if r is not NEED_INPUT and stop == "trees" \
+                        and self.state in (_S_HUFF, _S_STORED):
+                    return TREES_DONE
             elif self.state == _S_STORED:
                 r = self._copy_stored(finish)
             else:
@@ -162,6 +173,8 @@ class RawInflater:
                 if finish:
                     raise InflateError("unexpected end of stream")
                 return NEED_INPUT
+            if stop is not None and self.state == _S_BLOCK_HEADER:
+                return BLOCK_BOUNDARY  # EOB consumed, output flushed
 
     def _read_block_header(self, finish: bool):
         if self._bits_avail() < 3:

@@ -99,8 +99,11 @@ def zng_deflateTune(strm: Deflate, good_length: int, max_lazy: int,
 
 
 def zng_deflateBound(strm: Deflate | None, sourceLen: int) -> int:
-    """zlib-ng.h.in:751; deflate.c:709-781."""
-    return _bound(sourceLen, strm.wbits if strm is not None else 15)
+    """zlib-ng.h.in:751; deflate.c:709-781 (tight when the stream is
+    known, conservative + zlib wrapper otherwise)."""
+    if strm is None:
+        return _bound(sourceLen, 15) + 6
+    return strm.bound(sourceLen)
 
 
 def zng_deflatePending(strm: Deflate) -> tuple[int, int]:
@@ -261,8 +264,19 @@ def zng_inflateBackEnd(state) -> None:
 
 
 def zng_zlibCompileFlags() -> int:
-    """zlib-ng.h.in:1161; type-size fields per the documented bit layout."""
-    return 0x55
+    """zlib-ng.h.in:1161-1199 bit layout (zutil.c zlibCompileFlags): two-bit
+    type sizes (01=32-bit, 10=64-bit) for uint/ulong/void*/z_off_t; all
+    option bits 8..31 are 0 for this build (no debug/ASM/WINAPI, tables are
+    precomputed, full gzip support, secure formatting)."""
+    import struct
+    szs = (4,                              # unsigned int
+           struct.calcsize("l"),           # unsigned long
+           struct.calcsize("P"),           # void *
+           8)                              # z_off_t (64-bit offsets)
+    flags = 0
+    for shift, sz in zip((0, 2, 4, 6), szs):
+        flags |= {2: 0, 4: 1, 8: 2}.get(sz, 3) << shift
+    return flags
 
 
 # ---------------------------------------------------------------------------
