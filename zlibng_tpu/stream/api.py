@@ -31,7 +31,8 @@ from ..format.constants import WINDOW_SIZE
 from ..huffman.bitpack import pack_bits
 from ..stream import deflate as D
 from ..stream.inflate_serial import (
-    NEED_INPUT, RawInflater, STREAM_END as _RAW_END,
+    BLOCK_BOUNDARY as _RAW_BOUNDARY, NEED_INPUT, RawInflater,
+    STREAM_END as _RAW_END, TREES_DONE as _RAW_TREES,
 )
 
 # flush constants (zlib-ng.h.in:171-177)
@@ -347,6 +348,7 @@ class Inflate:
         self._finished = False
         self._trailer = bytearray()
         self._validate = True
+        self.data_type = 0           # strm->data_type (inflate.c:1191)
         # sub-byte carry from inflatePrime with bits % 8 != 0: the last
         # _lead_n bits of the logical stream, not yet in _raw.data
         self._lead_n = 0
@@ -385,11 +387,25 @@ class Inflate:
             return b""
         return bytes(self._raw.out[-WINDOW_SIZE:])
 
-    def decompress(self, data: bytes = b"", finish: bool = False) -> bytes:
+    def decompress(self, data: bytes = b"", finish: bool = False,
+                   flush: int = Z_NO_FLUSH) -> bytes:
+        """One inflate() call. flush supports Z_NO_FLUSH/Z_FINISH plus the
+        block-introspection modes (inflate.c:402-520 doc):
+
+        * Z_BLOCK — stop when the next block boundary is reached during
+          this call (after an end-of-block code's output is delivered, or
+          right after the wrapper header). data_type is set to unused bits
+          + 64 if decoding the last block + 128 if at a block boundary.
+        * Z_TREES — like Z_BLOCK, but also stop right after each block
+          header (before block data), adding 256 to data_type.
+        """
+        finish = finish or flush == Z_FINISH
+        stop = {Z_BLOCK: "block", Z_TREES: "trees"}.get(flush)
         if self._finished:
             return b""
         self.total_in += len(data)
         buf = data
+        header_parsed_now = False
 
         # header phase
         if self._raw is None:
@@ -434,6 +450,7 @@ class Inflate:
             self._raw = RawInflater(
                 wbits=win, dictionary=self._dict if self._mode == "zlib" else None)
             buf = rest + buf
+            header_parsed_now = True
 
         if self._lead_n and (buf or finish):
             # splice new input after the sub-byte inflatePrime carry
@@ -452,9 +469,14 @@ class Inflate:
 
         before = len(self._raw.out)
         self._raw.feed(buf)
+        if header_parsed_now and stop is not None:
+            # stop "just before the first byte of the deflate stream":
+            # boundary bit set, byte-aligned, nothing decoded yet
+            self.data_type = 128
+            return b""
         # finish also unblocks the decoder's 48-bit lookahead margin when the
         # only bytes left are the wrapper trailer
-        r = self._raw.run(finish=finish)
+        r = self._raw.run(finish=finish, stop=stop)
         new = self._raw.out[before:] if before else self._raw.out[self._raw.dict_len:]
         chunk = bytes(new)
         self.total_out += len(chunk)
@@ -463,9 +485,26 @@ class Inflate:
         else:
             self.adler = adler32(chunk, self.adler)
 
+        self._set_data_type(r)
         if r == _RAW_END:
             self._check_trailer(finish)
         return chunk
+
+    def _set_data_type(self, r) -> None:
+        """strm->data_type after every inflate() return (inflate.c:1191):
+        unused input bits + 64 (in last block) + 128 (at block boundary) +
+        256 (just after a block header). At a boundary/trees stop the
+        unused count is sub-byte; otherwise it is the still-buffered bit
+        count, capped at 63 to keep the flag bits unambiguous (the
+        reference's 32-bit hold caps it naturally)."""
+        raw = self._raw
+        if r in (_RAW_BOUNDARY, _RAW_TREES, _RAW_END):
+            bits = (-raw.bitpos) & 7
+        else:
+            bits = min(63, max(0, len(raw.data) * 8 - raw.bitpos))
+        self.data_type = (bits + (64 if raw.final_block else 0)
+                          + (128 if r == _RAW_BOUNDARY else 0)
+                          + (256 if r == _RAW_TREES else 0))
 
     def _check_trailer(self, finish: bool) -> None:
         # remaining bytes after the deflate payload (all input stays in the

@@ -163,8 +163,10 @@ def zng_inflateInit2(windowBits: int = 15) -> Inflate:
 
 def zng_inflate(strm: Inflate, data: bytes = b"",
                 flush: int = Z_NO_FLUSH) -> bytes:
-    """zlib-ng.h.in:401 (semantics doc :402-520). Returns produced bytes."""
-    return strm.decompress(data, finish=(flush == Z_FINISH))
+    """zlib-ng.h.in:401 (semantics doc :402-520). Returns produced bytes.
+    Z_BLOCK/Z_TREES stop at block boundaries / after block headers and
+    report position via strm.data_type (inflate.c:476-520)."""
+    return strm.decompress(data, flush=flush)
 
 
 def zng_inflateEnd(strm: Inflate) -> None:
