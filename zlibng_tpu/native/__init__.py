@@ -18,20 +18,25 @@ _SRC = os.path.join(_HERE, "zng_host.c")
 _lib = None          # None = not tried, False = unavailable, else CDLL
 
 
+_CFLAGS = ["-O3", "-march=native", "-fPIC", "-shared"]
+_CFLAGS_PORTABLE = ["-O3", "-fPIC", "-shared"]
+
+
 def _build(so_path: str) -> bool:
     for cc in (os.environ.get("CC"), "cc", "gcc", "clang", "g++"):
         if not cc:
             continue
-        cmd = [cc, "-O3", "-fPIC", "-shared", "-o", so_path, _SRC]
-        if cc.endswith("g++") or cc.endswith("clang++"):
-            cmd.insert(1, "-x")
-            cmd.insert(2, "c")
-        try:
-            r = subprocess.run(cmd, capture_output=True, timeout=120)
-        except (OSError, subprocess.TimeoutExpired):
-            continue
-        if r.returncode == 0 and os.path.exists(so_path):
-            return True
+        for flags in (_CFLAGS, _CFLAGS_PORTABLE):
+            cmd = [cc, *flags, "-o", so_path, _SRC]
+            if cc.endswith("g++") or cc.endswith("clang++"):
+                cmd.insert(1, "-x")
+                cmd.insert(2, "c")
+            try:
+                r = subprocess.run(cmd, capture_output=True, timeout=120)
+            except (OSError, subprocess.TimeoutExpired):
+                continue
+            if r.returncode == 0 and os.path.exists(so_path):
+                return True
     return False
 
 
@@ -42,7 +47,8 @@ def lib():
         return _lib or None
     try:
         with open(_SRC, "rb") as f:
-            tag = hashlib.sha256(f.read()).hexdigest()[:16]
+            key = f.read() + repr(_CFLAGS).encode()
+        tag = hashlib.sha256(key).hexdigest()[:16]
         cache_dir = os.environ.get("ZLIBNG_TPU_NATIVE_DIR") or _HERE
         if not os.access(cache_dir, os.W_OK):
             cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
@@ -71,6 +77,19 @@ def lib():
             ctypes.POINTER(ctypes.c_long),                  # hdist
             ctypes.c_void_p, ctypes.c_void_p,               # lit/dist LUTs
             ctypes.c_void_p,                                # lut_bits[2]
+        ]
+        lb.zng_inflate_stream.restype = ctypes.c_long
+        lb.zng_inflate_stream.argtypes = [
+            ctypes.c_void_p, ctypes.c_long,                 # data, nbytes
+            ctypes.POINTER(ctypes.c_long),                  # bitpos
+            ctypes.c_void_p,                                # state int64[8]
+            ctypes.c_void_p, ctypes.c_long,                 # lit tbl2, cap
+            ctypes.c_void_p, ctypes.c_long,                 # dist tbl2, cap
+            ctypes.c_void_p, ctypes.c_long,                 # out, out_cap
+            ctypes.POINTER(ctypes.c_long),                  # out_len
+            ctypes.c_long, ctypes.c_int,                    # wsize, finish
+            ctypes.POINTER(ctypes.c_long),                  # ncodes
+            ctypes.c_int,                                   # stop_after_block
         ]
         lb.zng_decode_huff.restype = ctypes.c_long
         lb.zng_decode_huff.argtypes = [

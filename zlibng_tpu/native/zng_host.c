@@ -21,17 +21,65 @@
 #define ADLER_BASE 65521u
 #define ADLER_NMAX 5552
 
+/* Dot-product formulation (the adler32_avx2.c:21-60 idea): over a block
+ * of k bytes, s2 += k*s1 + sum((k-i)*b[i]); s1 += sum(b). The weighted sum
+ * decomposes per 32-byte chunk q as 32*(chunks-1-q)*chunksum_q +
+ * dot(chunk, [32..1]), which maps onto SAD (chunk sums) and MADDUBS
+ * (constant-weight dot). NMAX blocking keeps everything in uint32 exactly
+ * as in adler32_p.h:11-13. */
+#ifdef __AVX2__
+#include <immintrin.h>
+
+static void zng_adler_blk_avx2(const uint8_t *buf, long k, uint32_t *s1io,
+                               uint32_t *s2io) {
+    /* k is a multiple of 32, k <= NMAX */
+    const __m256i zero = _mm256_setzero_si256();
+    const __m256i wts = _mm256_setr_epi8(
+        32, 31, 30, 29, 28, 27, 26, 25, 24, 23, 22, 21, 20, 19, 18, 17,
+        16, 15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1);
+    const __m256i ones16 = _mm256_set1_epi16(1);
+    __m256i vs1 = zero;     /* u64 x4: running chunk sums (via SAD)   */
+    __m256i vsum2 = zero;   /* u64 x4: sum of vs1 snapshots per chunk */
+    __m256i vdot = zero;    /* i32 x8: per-chunk weighted dots        */
+    for (long j = 0; j < k; j += 32) {
+        __m256i c = _mm256_loadu_si256((const __m256i *)(buf + j));
+        vsum2 = _mm256_add_epi64(vsum2, vs1);
+        vs1 = _mm256_add_epi64(vs1, _mm256_sad_epu8(c, zero));
+        __m256i m = _mm256_maddubs_epi16(c, wts);        /* u8*i8 -> i16 */
+        vdot = _mm256_add_epi32(vdot, _mm256_madd_epi16(m, ones16));
+    }
+    uint64_t l1[4], l2[4];
+    uint32_t ld[8];
+    _mm256_storeu_si256((__m256i *)l1, vs1);
+    _mm256_storeu_si256((__m256i *)l2, vsum2);
+    _mm256_storeu_si256((__m256i *)ld, vdot);
+    uint32_t sum = (uint32_t)(l1[0] + l1[1] + l1[2] + l1[3]);
+    uint32_t sum2 = (uint32_t)(l2[0] + l2[1] + l2[2] + l2[3]);
+    uint32_t dot = ld[0] + ld[1] + ld[2] + ld[3] + ld[4] + ld[5] + ld[6]
+                   + ld[7];
+    uint32_t s1 = *s1io, s2 = *s2io;
+    s2 = (s2 + (uint32_t)k * s1 + 32u * sum2 + dot) % ADLER_BASE;
+    s1 = (s1 + sum) % ADLER_BASE;
+    *s1io = s1;
+    *s2io = s2;
+}
+#endif
+
 uint32_t zng_adler32(const uint8_t *buf, long n, uint32_t adler) {
     uint32_t s1 = adler & 0xFFFF;
     uint32_t s2 = (adler >> 16) & 0xFFFF;
+#ifdef __AVX2__
+    while (n >= 32) {
+        long k = n < ADLER_NMAX ? n : ADLER_NMAX;
+        k &= ~31L;
+        zng_adler_blk_avx2(buf, k, &s1, &s2);
+        buf += k;
+        n -= k;
+    }
+#endif
     while (n > 0) {
         long k = n < ADLER_NMAX ? n : ADLER_NMAX;
         n -= k;
-        /* 16-way unroll: the scalar shape compilers auto-vectorize */
-        while (k >= 16) {
-            for (int i = 0; i < 16; i++) { s1 += buf[i]; s2 += s1; }
-            buf += 16; k -= 16;
-        }
         while (k--) { s1 += *buf++; s2 += s1; }
         s1 %= ADLER_BASE;
         s2 %= ADLER_BASE;
@@ -177,10 +225,9 @@ static int zng_max_len(const int32_t *lengths, long nsyms) {
     return m;
 }
 
-long zng_read_dyn_header(const uint8_t *data, long nbytes, long *bitpos_io,
-                         int32_t *lengths_out, long *hlit_io,
-                         long *hdist_io, int32_t *lit_lut,
-                         int32_t *dist_lut, int32_t *lut_bits_io) {
+static long zng_parse_dyn_lengths(const uint8_t *data, long nbytes,
+                                  long *bitpos_io, int32_t *lengths_out,
+                                  long *hlit_io, long *hdist_io) {
     long bp = *bitpos_io;
     const long total = nbytes * 8;
     if (total - bp < 14) return 1;
@@ -244,6 +291,20 @@ long zng_read_dyn_header(const uint8_t *data, long nbytes, long *bitpos_io,
     if (lengths_out[256] == 0) return -8;
     if (zng_validate(lengths_out, hlit, 1)) return -9;
     if (zng_validate(lengths_out + hlit, hdist, 2)) return -10;
+    *bitpos_io = bp;
+    *hlit_io = hlit;
+    *hdist_io = hdist;
+    return 0;
+}
+
+long zng_read_dyn_header(const uint8_t *data, long nbytes, long *bitpos_io,
+                         int32_t *lengths_out, long *hlit_io,
+                         long *hdist_io, int32_t *lit_lut,
+                         int32_t *dist_lut, int32_t *lut_bits_io) {
+    long ret = zng_parse_dyn_lengths(data, nbytes, bitpos_io, lengths_out,
+                                     hlit_io, hdist_io);
+    if (ret) return ret;
+    long hlit = *hlit_io, hdist = *hdist_io;
     /* variable-width flat LUTs: fill only 2^maxlen entries (the analog of
      * inftrees.c sizing root tables by the actual code-length profile);
      * the decode loop masks its peek by the table width */
@@ -253,9 +314,6 @@ long zng_read_dyn_header(const uint8_t *data, long nbytes, long *bitpos_io,
     zng_fill_lut(lengths_out + hlit, hdist, dist_bits, dist_lut);
     lut_bits_io[0] = lit_bits;
     lut_bits_io[1] = dist_bits;
-    *bitpos_io = bp;
-    *hlit_io = hlit;
-    *hdist_io = hdist;
     return 0;
 }
 
@@ -443,6 +501,455 @@ long zng_decode_huff(const uint8_t *data, long nbytes, long *bitpos_io,
             olen += length;
         }
     }
+    *bitpos_io = bp;
+    *out_len_io = olen;
+    *ncodes_io += ncodes;
+    return ret;
+}
+
+/* ======================================================================
+ * Whole-stream native inflate (raw DEFLATE block loop on the host).
+ *
+ * The per-block entry points above stay as-is — they are the seam the
+ * TPU batch decoder (ops/inflate_tpu.py) and the Z_BLOCK/Z_TREES stop
+ * paths consume (flat variable-width LUTs). This section is the host
+ * throughput path: a self-contained block loop using two-level
+ * root+sub decode tables (inftrees.c:30-295 root-bits idea): the root
+ * table is <= 2^10 entries = 4 KiB, so it stays L1-resident, where the
+ * 15-bit flat LUT (128 KiB) thrashes L2 on every symbol.
+ *
+ * Table entry format (int32, shares the direct encoding of the flat LUT):
+ *   ent >= 0        direct:  sym << 4 | code_len
+ *   ent == -16      invalid peek
+ *   ent <= -32      sub-pointer: s = -ent - 32; sub table at
+ *                   tbl[(1<<root) + (s>>4)], indexed by the next (s&15)
+ *                   bits; sub entries are direct (len = full code length)
+ *                   or -16.
+ * ====================================================================== */
+
+static uint32_t zng_bitrev(uint32_t c, int l) {
+    uint32_t r = 0;
+    for (int k = 0; k < l; k++) r |= ((c >> k) & 1u) << (l - 1 - k);
+    return r;
+}
+
+/* Build a two-level table. root_req <= 10. Returns entries used, or -1 if
+ * tbl_cap would overflow (cannot happen for Kraft-valid code sets with the
+ * caller's caps; checked anyway so hostile inputs cannot scribble).
+ * Writes the actual root width (shrunk to maxlen) to *root_io. */
+static long zng_build_tbl2(const int32_t *lengths, long nsyms, int root_req,
+                           int32_t *tbl, long tbl_cap, int *root_io) {
+    long bl[16] = {0};
+    int maxlen = 0;
+    long nused = 0;
+    for (long s = 0; s < nsyms; s++) {
+        int l = lengths[s];
+        if (l > 0) {
+            bl[l]++;
+            nused++;
+            if (l > maxlen) maxlen = l;
+        }
+    }
+    int root = root_req > 10 ? 10 : root_req;
+    if (maxlen > 0 && maxlen < root) root = maxlen;
+    long rsize = 1L << root;
+    if (rsize > tbl_cap) return -1;
+    for (long i = 0; i < rsize; i++) tbl[i] = -16;
+    *root_io = root;
+    if (nused == 0) return rsize;
+
+    uint32_t next_code[16];
+    uint32_t code = 0;
+    for (int b = 1; b <= 15; b++) {
+        code = (uint32_t)((code + bl[b - 1]) << 1);
+        next_code[b] = code;
+    }
+    long used = rsize;
+    int8_t need[1 << 10];
+    int32_t sub_base[1 << 10];
+    if (maxlen > root) {
+        memset(need, 0, (size_t)rsize);
+        uint32_t nc2[16];
+        memcpy(nc2, next_code, sizeof nc2);
+        for (long s = 0; s < nsyms; s++) {
+            int l = lengths[s];
+            if (l <= root) {
+                if (l > 0) nc2[l]++;
+                continue;
+            }
+            uint32_t c = nc2[l]++;
+            long ridx = (long)zng_bitrev(c >> (l - root), root);
+            if (l - root > need[ridx]) need[ridx] = (int8_t)(l - root);
+        }
+        for (long r = 0; r < rsize; r++) {
+            if (!need[r]) continue;
+            long size = 1L << need[r];
+            if (used + size > tbl_cap) return -1;
+            for (long i = 0; i < size; i++) tbl[used + i] = -16;
+            tbl[r] = -(int32_t)(32 + (((used - rsize) << 4) | need[r]));
+            sub_base[r] = (int32_t)used;
+            used += size;
+        }
+    }
+    for (long s = 0; s < nsyms; s++) {
+        int l = lengths[s];
+        if (l <= 0) continue;
+        uint32_t c = next_code[l]++;
+        int32_t ent = (int32_t)((s << 4) | l);
+        if (l <= root) {
+            long stride = 1L << l;
+            for (long idx = (long)zng_bitrev(c, l); idx < rsize; idx += stride)
+                tbl[idx] = ent;
+        } else {
+            uint32_t full = zng_bitrev(c, l);
+            long ridx = (long)(full & (uint32_t)(rsize - 1));
+            long base = sub_base[ridx];
+            long ssize = 1L << need[ridx];
+            long stride = 1L << (l - root);
+            for (long idx = (long)(full >> root); idx < ssize; idx += stride)
+                tbl[base + idx] = ent;
+        }
+    }
+    return used;
+}
+
+/* Fixed-block tables (RFC 1951 3.2.6), built once per process. */
+static int32_t FIX_LIT_TBL[1 << 10];
+static int32_t FIX_DIST_TBL[1 << 6];
+static int fix_lit_root = 0, fix_dist_root = 0;
+
+static void zng_fix_init(void) {
+    if (fix_lit_root) return;
+    int32_t ll[288], dl[32];
+    for (int i = 0; i < 144; i++) ll[i] = 8;
+    for (int i = 144; i < 256; i++) ll[i] = 9;
+    for (int i = 256; i < 280; i++) ll[i] = 7;
+    for (int i = 280; i < 288; i++) ll[i] = 8;
+    for (int i = 0; i < 32; i++) dl[i] = 5;
+    int dr;
+    zng_build_tbl2(ll, 288, 10, FIX_LIT_TBL, 1 << 10, &fix_lit_root);
+    zng_build_tbl2(dl, 32, 10, FIX_DIST_TBL, 1 << 6, &dr);
+    fix_dist_root = dr;
+}
+
+static inline int32_t tbl2_look(const int32_t *tbl, int root, uint64_t hold) {
+    int32_t ent = tbl[hold & ((1u << root) - 1u)];
+    if (ent < -16) {
+        long s = -(long)ent - 32;
+        ent = tbl[(1L << root) + (s >> 4)
+                  + (long)((hold >> root) & ((1u << (s & 15)) - 1u))];
+    }
+    return ent;
+}
+
+/* One Huffman block body over two-level tables; same contract and return
+ * codes as zng_decode_huff. */
+static long zng_decode_huff2(const uint8_t *data, long nbytes,
+                             long *bitpos_io, const int32_t *lt, int lroot,
+                             const int32_t *dt, int droot, uint8_t *out,
+                             long out_cap, long *out_len_io, long wsize,
+                             int finish, long *ncodes_io) {
+    long bp = *bitpos_io;
+    long olen = *out_len_io;
+    long ncodes = 0;
+    const long total_bits = nbytes * 8;
+    long ret;
+
+    /* Fast loop (inffast_tpl.h:53-298 analog): 56-bit hold covers a whole
+     * match or up to three literals; copies may overshoot by up to 7 bytes
+     * (the 266-byte slack guard covers 258 + 8). Anything delicate (EOB,
+     * errors, buffer edges) falls to the careful loop below. */
+    while (total_bits - bp >= 64 && olen + 266 <= out_cap) {
+        uint64_t hold;
+        memcpy(&hold, data + (bp >> 3), 8);
+        hold >>= (bp & 7);
+        int32_t ent = tbl2_look(lt, lroot, hold);
+        if (ent < 0) break;
+        long nb = ent & 15;
+        long sym = ent >> 4;
+        hold >>= nb;
+        long used = nb;
+        if (sym < 256) {
+            out[olen++] = (uint8_t)sym;
+            ncodes++;
+            ent = tbl2_look(lt, lroot, hold);
+            if (ent >= 0 && (ent >> 4) < 256) {
+                out[olen++] = (uint8_t)(ent >> 4);
+                ncodes++;
+                nb = ent & 15;
+                hold >>= nb;
+                used += nb;
+                ent = tbl2_look(lt, lroot, hold);
+                if (ent >= 0 && (ent >> 4) < 256) {
+                    out[olen++] = (uint8_t)(ent >> 4);
+                    ncodes++;
+                    used += ent & 15;
+                }
+            }
+            bp += used;
+            continue;
+        }
+        if (sym > 256 && sym <= 285) {
+            long i = sym - 257;
+            long e = LE[i];
+            long length = LB[i] + (long)(hold & ((1u << e) - 1));
+            hold >>= e;
+            used += e;
+            int32_t dent = tbl2_look(dt, droot, hold);
+            long dsym = dent >> 4;
+            if (dent < 0 || dsym > 29) break;
+            long dnb = dent & 15;
+            hold >>= dnb;
+            used += dnb;
+            e = DE[dsym];
+            long dist = DB[dsym] + (long)(hold & ((1u << e) - 1));
+            used += e;
+            if (dist > olen || dist > wsize) break;
+            bp += used;
+            ncodes++;
+            uint8_t *dst = out + olen;
+            const uint8_t *src = dst - dist;
+            olen += length;
+            if (dist >= 8) {
+                /* 8-byte stepped copy, overlap-tolerant for dist >= 8
+                 * (chunkset_tpl.h CHUNKCOPY semantics) */
+                do {
+                    memcpy(dst, src, 8);
+                    dst += 8;
+                    src += 8;
+                    length -= 8;
+                } while (length > 0);
+            } else if (dist >= length) {
+                memcpy(dst, src, (size_t)length);
+            } else {
+                /* short period: seed one period, then double
+                 * (CHUNKMEMSET pattern-broadcast analog) */
+                for (long k = 0; k < dist; k++) dst[k] = src[k];
+                long copied = dist;
+                while (copied < length) {
+                    long c = copied < length - copied ? copied
+                                                      : length - copied;
+                    memcpy(dst + copied, dst, (size_t)c);
+                    copied += c;
+                }
+            }
+            continue;
+        }
+        break; /* EOB or invalid: careful loop re-decodes */
+    }
+
+    /* Careful tail loop: exact need-input rollbacks at symbol granularity */
+    for (;;) {
+        uint64_t hold;
+        long byte = bp >> 3;
+        long av = nbytes - byte;
+        if (av >= 8) {
+            memcpy(&hold, data + byte, 8);
+        } else {
+            hold = 0;
+            for (long k = 0; k < av; k++)
+                hold |= (uint64_t)data[byte + k] << (8 * k);
+        }
+        hold >>= (bp & 7);
+
+        int32_t ent = tbl2_look(lt, lroot, hold);
+        if (ent < 0) {
+            if (bp + 15 > total_bits && !finish) { ret = 1; break; }
+            ret = -2;
+            break;
+        }
+        long nb = ent & 15;
+        long sym = ent >> 4;
+        bp += nb;
+        if (bp > total_bits) {
+            if (finish) { ret = -5; break; }
+            bp -= nb;
+            ret = 1;
+            break;
+        }
+        ncodes++;
+        if (sym < 256) {
+            if (olen >= out_cap) { bp -= nb; ncodes--; ret = 2; break; }
+            out[olen++] = (uint8_t)sym;
+            continue;
+        }
+        if (sym == 256) { ret = 0; break; }
+        if (sym > 285) { ret = -2; break; }
+        hold >>= nb;
+        long used = nb;
+        long i = sym - 257;
+        long e = LE[i];
+        long length = LB[i] + (long)(hold & ((1u << e) - 1));
+        hold >>= e;
+        used += e;
+        bp += e;
+
+        int32_t dent = tbl2_look(dt, droot, hold);
+        long dsym = dent >> 4;
+        if (dent < 0 || dsym > 29) {
+            if (bp + 15 > total_bits && !finish) {
+                bp -= used;
+                ncodes--;
+                ret = 1;
+                break;
+            }
+            ret = -3;
+            break;
+        }
+        long dnb = dent & 15;
+        hold >>= dnb;
+        used += dnb;
+        bp += dnb;
+        e = DE[dsym];
+        long dist = DB[dsym] + (long)(hold & ((1u << e) - 1));
+        used += e;
+        bp += e;
+        if (bp > total_bits) {
+            if (finish) { ret = -5; break; }
+            bp -= used;
+            ncodes--;
+            ret = 1;
+            break;
+        }
+        if (dist > olen || dist > wsize) { ret = -4; break; }
+        if (olen + length > out_cap) { bp -= used; ncodes--; ret = 2; break; }
+        {
+            uint8_t *dst = out + olen;
+            const uint8_t *src = dst - dist;
+            if (dist >= 8 && dist >= length) {
+                memcpy(dst, src, (size_t)length);
+            } else {
+                for (long k = 0; k < length; k++) dst[k] = src[k];
+            }
+            olen += length;
+        }
+    }
+    *bitpos_io = bp;
+    *out_len_io = olen;
+    *ncodes_io += ncodes;
+    return ret;
+}
+
+/* Whole-stream driver (the inflate.c:726-1153 block loop, host-native).
+ *
+ * st: int64[8] resumable state owned by the caller:
+ *   [0] state (0 block header, 1 stored, 2 huffman body, 3 done)
+ *   [1] final-block flag   [2] stored bytes remaining
+ *   [3] lit root bits      [4] dist root bits      [5] fixed-tables flag
+ * lit_tbl/dist_tbl: caller-owned two-level table buffers (persist across
+ * calls so mid-block resumes reuse them).
+ *
+ * Returns: 0 stream end, 1 need input, 2 grow output, 3 block boundary
+ * (only when stop_after_block), or a negative error:
+ *   -1..-10 as zng_read_dyn_header / zng_decode_huff
+ *   -11 invalid stored block lengths, -12 invalid block type,
+ *   -13 internal table overflow (caller falls back; unreachable for
+ *       Kraft-valid code sets with the documented caps).
+ */
+long zng_inflate_stream(const uint8_t *data, long nbytes, long *bitpos_io,
+                        int64_t *st, int32_t *lit_tbl, long lit_cap,
+                        int32_t *dist_tbl, long dist_cap, uint8_t *out,
+                        long out_cap, long *out_len_io, long wsize,
+                        int finish, long *ncodes_io, int stop_after_block) {
+    zng_fix_init();
+    long bp = *bitpos_io;
+    long olen = *out_len_io;
+    long ncodes = 0;
+    const long total_bits = nbytes * 8;
+    long state = (long)st[0];
+    long ret = 0;
+
+    for (;;) {
+        if (state == 3) { ret = 0; break; }
+        if (state == 0) {
+            if (total_bits - bp < 3) { ret = finish ? -5 : 1; break; }
+            long save = bp;
+            long final = (long)zng_peek(data, nbytes, bp, 1); bp += 1;
+            long btype = (long)zng_peek(data, nbytes, bp, 2); bp += 2;
+            if (btype == 3) { ret = -12; break; }
+            if (btype == 0) {
+                bp = (bp + 7) & ~7L;
+                if (total_bits - bp < 32) {
+                    bp = save;
+                    ret = finish ? -5 : 1;
+                    break;
+                }
+                long len = (long)zng_peek(data, nbytes, bp, 16); bp += 16;
+                long nlen = (long)zng_peek(data, nbytes, bp, 16); bp += 16;
+                if (len != (~nlen & 0xFFFF)) { ret = -11; break; }
+                st[1] = final;
+                st[2] = len;
+                state = 1;
+                continue;
+            }
+            if (btype == 1) {
+                st[1] = final;
+                st[5] = 1;
+                st[3] = fix_lit_root;
+                st[4] = fix_dist_root;
+                state = 2;
+                continue;
+            }
+            int32_t lengths[318];
+            long hlit, hdist;
+            long r = zng_parse_dyn_lengths(data, nbytes, &bp, lengths,
+                                           &hlit, &hdist);
+            if (r == 1) { bp = save; ret = finish ? -5 : 1; break; }
+            if (r < 0) { ret = r; break; }
+            int lr, dr;
+            if (zng_build_tbl2(lengths, hlit, 10, lit_tbl, lit_cap, &lr) < 0
+                || zng_build_tbl2(lengths + hlit, hdist, 10, dist_tbl,
+                                  dist_cap, &dr) < 0) {
+                bp = save; /* caller retries this block on the flat path */
+                ret = -13;
+                break;
+            }
+            st[1] = final;
+            st[5] = 0;
+            st[3] = lr;
+            st[4] = dr;
+            state = 2;
+            continue;
+        }
+        if (state == 1) {
+            long remaining = (long)st[2];
+            long avail = nbytes - (bp >> 3);
+            long take = remaining < avail ? remaining : avail;
+            if (take > out_cap - olen) take = out_cap - olen;
+            if (take > 0) {
+                memcpy(out + olen, data + (bp >> 3), (size_t)take);
+                olen += take;
+                bp += take * 8;
+                remaining -= take;
+                st[2] = remaining;
+            }
+            if (remaining > 0) {
+                if (nbytes - (bp >> 3) > 0 && out_cap == olen) {
+                    ret = 2;
+                    break;
+                }
+                ret = finish ? -5 : 1;
+                break;
+            }
+            if (st[1]) { state = 3; continue; }
+            state = 0;
+            if (stop_after_block) { ret = 3; break; }
+            continue;
+        }
+        /* state == 2 */
+        {
+            const int32_t *lt = st[5] ? FIX_LIT_TBL : lit_tbl;
+            const int32_t *dt = st[5] ? FIX_DIST_TBL : dist_tbl;
+            long r = zng_decode_huff2(data, nbytes, &bp, lt, (int)st[3], dt,
+                                      (int)st[4], out, out_cap, &olen, wsize,
+                                      finish, &ncodes);
+            if (r != 0) { ret = r; break; }
+            if (st[1]) { state = 3; continue; }
+            state = 0;
+            if (stop_after_block) { ret = 3; break; }
+        }
+    }
+    st[0] = state;
     *bitpos_io = bp;
     *out_len_io = olen;
     *ncodes_io += ncodes;

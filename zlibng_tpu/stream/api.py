@@ -628,6 +628,8 @@ class Inflate:
         nbits += bits
         self._primed_until = self._raw.bitpos + off + bits
         whole = nbits // 8 * 8
+        if type(self._raw.data) is bytes:  # zero-copy one-shot buffer
+            self._raw.data = bytearray(self._raw.data)
         del self._raw.data[byte0:]
         self._raw.data += (big & ((1 << whole) - 1)).to_bytes(whole // 8,
                                                               "little")

@@ -119,6 +119,14 @@ class RawInflater:
         self._lut_bits = (15, 15)  # table widths for the native peek masks
         self._lut_list = None  # cached list LUTs for the Python fallback
         self.codes_used = 0  # inflateCodesUsed analog: symbols decoded
+        # whole-stream native engine state (zng_inflate_stream): resumable
+        # int64 slots + persistent two-level table buffers. _tbl2_active
+        # means the current _S_HUFF block's tables live there (and NOT in
+        # lit_lut/dist_lut) — the flat per-block path and the device
+        # decoder's _parse_header always repopulate lit_lut themselves.
+        self._st2 = None
+        self._tbl2 = None
+        self._tbl2_active = False
 
     # -- bit plumbing -------------------------------------------------------
     def _bits_avail(self) -> int:
@@ -138,7 +146,25 @@ class RawInflater:
         return v
 
     def feed(self, chunk: bytes) -> None:
-        self.data += chunk
+        # one-shot fast path: adopt the caller's bytes object zero-copy;
+        # converted to a bytearray on the first append (streaming callers)
+        if not self.data and type(chunk) is bytes:
+            self.data = chunk
+        elif type(self.data) is bytes:
+            self.data = bytearray(self.data)
+            self.data += chunk
+        else:
+            self.data += chunk
+
+    def _dptr(self):
+        """(c_void_p, keepalive) over self.data without copying; the native
+        kernels only read it, so an immutable bytes buffer is fine."""
+        import ctypes
+        if type(self.data) is bytes:
+            return (ctypes.cast(ctypes.c_char_p(self.data), ctypes.c_void_p),
+                    self.data)
+        anchor = ctypes.c_char.from_buffer(self.data)
+        return ctypes.c_void_p(ctypes.addressof(anchor)), anchor
 
     def output(self) -> bytes:
         """Decoded bytes (excluding any preset dictionary prefix)."""
@@ -157,6 +183,30 @@ class RawInflater:
         call (never on entry — inflate.c:501 promotes TYPE to TYPEDO so a
         stopped stream resumes); 'trees' additionally returns TREES_DONE
         right after any block header is parsed, before block data."""
+        lib = _native()
+        if lib is not None and stop is None:
+            # whole-stream engine. A block mid-decoded by the flat path is
+            # finished there first (its tables live in lit_lut, not in the
+            # stream engine's two-level buffers).
+            if self.state == _S_HUFF and not self._tbl2_active:
+                r = self._decode_huff(finish)
+                if r is NEED_INPUT:
+                    if finish:
+                        raise InflateError("unexpected end of stream")
+                    return NEED_INPUT
+                if self.state == _S_DONE:
+                    return STREAM_END
+            r = self._run_stream_native(lib, finish)
+            if r is not _TBL2_OVERFLOW:
+                return r
+            # unreachable for valid streams: continue on the flat path
+        elif (lib is not None and stop is not None and self._tbl2_active
+                and self.state == _S_HUFF):
+            # a stream-engine session left a block mid-decoded; finish it
+            # there, which lands exactly on the next block boundary
+            r = self._run_stream_native(lib, finish, stop_after_block=True)
+            if r is not _TBL2_OVERFLOW:
+                return r
         while True:
             if self.state == _S_DONE:
                 return STREAM_END
@@ -176,9 +226,72 @@ class RawInflater:
             if stop is not None and self.state == _S_BLOCK_HEADER:
                 return BLOCK_BOUNDARY  # EOB consumed, output flushed
 
+    def _run_stream_native(self, lib, finish: bool,
+                           stop_after_block: bool = False):
+        """Drive zng_inflate_stream (native block loop over two-level
+        tables) from the current state; syncs the Python-visible state
+        fields both ways so flat-path and stop-mode calls can interleave."""
+        import ctypes
+
+        if self._st2 is None:
+            self._st2 = np.zeros(8, np.int64)
+            self._tbl2 = (np.empty(1 << 13, np.int32),
+                          np.empty(1 << 13, np.int32))
+        st = self._st2
+        st[0] = self.state
+        st[1] = 1 if self.final_block else 0
+        st[2] = self.stored_remaining
+        lit_tbl, dist_tbl = self._tbl2
+        out = self.out
+        real = len(out)
+        bp = ctypes.c_long(self.bitpos)
+        ol = ctypes.c_long(real)
+        nc = ctypes.c_long(0)
+        # initial output slack: ~4x the remaining compressed bytes (typical
+        # DEFLATE expands 2-4x; the retry loop doubles on underestimate).
+        # np.empty is uninitialized — extend copies once with no memset pass.
+        grow = max(1 << 12, min((len(self.data) - (self.bitpos >> 3)) * 4,
+                                1 << 24))
+        while True:
+            out.extend(np.empty(grow, np.uint8).data)
+            grow *= 2
+            dptr, danchor = self._dptr()
+            oanchor = ctypes.c_char.from_buffer(out)
+            ret = lib.zng_inflate_stream(
+                dptr, len(self.data),
+                ctypes.byref(bp), ctypes.c_void_p(st.ctypes.data),
+                ctypes.c_void_p(lit_tbl.ctypes.data), lit_tbl.size,
+                ctypes.c_void_p(dist_tbl.ctypes.data), dist_tbl.size,
+                ctypes.c_void_p(ctypes.addressof(oanchor)), len(out),
+                ctypes.byref(ol), self.window_size, int(finish),
+                ctypes.byref(nc), int(stop_after_block))
+            del danchor, oanchor
+            real = ol.value
+            if ret != 2:
+                break
+        del out[real:]
+        self.bitpos = bp.value
+        self.codes_used += nc.value
+        self.state = int(st[0])
+        self.final_block = bool(st[1])
+        self.stored_remaining = int(st[2])
+        self._tbl2_active = self.state == _S_HUFF
+        if ret == 0:
+            return STREAM_END
+        if ret == 1:
+            if finish:
+                raise InflateError("unexpected end of stream")
+            return NEED_INPUT
+        if ret == 3:
+            return BLOCK_BOUNDARY
+        if ret == -13:
+            return _TBL2_OVERFLOW
+        raise InflateError(_STREAM_ERRMSG[ret])
+
     def _read_block_header(self, finish: bool):
         if self._bits_avail() < 3:
             return NEED_INPUT
+        self._tbl2_active = False  # flat path takes table ownership
         save = self.bitpos
         self.final_block = bool(self._get(1))
         btype = self._get(2)
@@ -302,10 +415,7 @@ class RawInflater:
         bp = ctypes.c_long(self.bitpos)
         hlit = ctypes.c_long(0)
         hdist = ctypes.c_long(0)
-        # address without building a (c_char * n) array TYPE (that is ~100us
-        # of class creation per call); the buffer is pinned by `anchor`
-        anchor = ctypes.c_char.from_buffer(self.data)
-        dbuf = ctypes.c_void_p(ctypes.addressof(anchor))
+        dbuf, _anchor = self._dptr()
         ret = lib.zng_read_dyn_header(
             dbuf, len(self.data), ctypes.byref(bp),
             ctypes.c_void_p(lengths.ctypes.data),
@@ -363,12 +473,12 @@ class RawInflater:
         grow = max(1 << 12, min((len(self.data) - (self.bitpos >> 3)) * 8,
                                 1 << 17))
         while True:
-            out.extend(bytes(grow))
+            out.extend(np.empty(grow, np.uint8).data)
             grow *= 2
-            danchor = ctypes.c_char.from_buffer(self.data)
+            dptr, danchor = self._dptr()
             oanchor = ctypes.c_char.from_buffer(out)
             ret = lib.zng_decode_huff(
-                ctypes.c_void_p(ctypes.addressof(danchor)), len(self.data),
+                dptr, len(self.data),
                 ctypes.byref(bp),
                 ctypes.c_void_p(lit_np.ctypes.data),
                 ctypes.c_void_p(dist_np.ctypes.data),
@@ -490,9 +600,77 @@ class _Rollback(Exception):
     pass
 
 
+# zng_inflate_stream's two-level build overflowed its table caps — cannot
+# happen for Kraft-valid code sets, but hostile inputs must degrade to the
+# flat path, not crash.
+_TBL2_OVERFLOW = "tbl2_overflow"
+
+# zng_inflate_stream return-code -> exact zlib error string
+_STREAM_ERRMSG = {
+    -1: "too many length or distance symbols",
+    -2: "invalid literal/length code",
+    -3: "invalid distance code",
+    -4: "invalid distance too far back",
+    -5: "unexpected end of stream",
+    -6: "invalid code lengths set",
+    -7: "invalid bit length repeat",
+    -8: "invalid code -- missing end-of-block",
+    -9: "invalid literal/lengths set",
+    -10: "invalid distances set",
+    -11: "invalid stored block lengths",
+    -12: "invalid block type",
+}
+
+
+def _inflate_raw_native(lib, data: bytes, wbits: int,
+                        dictionary: bytes | None):
+    """One-shot whole-stream decode straight into a numpy buffer (no
+    bytearray window bookkeeping — the RawInflater state machine is only
+    needed for streaming/resumable callers). Returns (out, bits) or None
+    to defer to the RawInflater path (two-level table overflow)."""
+    import ctypes
+
+    wsize = 1 << wbits
+    dct = (dictionary or b"")[-wsize:]
+    dlen = len(dct)
+    lit = np.empty(1 << 13, np.int32)
+    dist = np.empty(1 << 13, np.int32)
+    st = np.zeros(8, np.int64)
+    dptr = ctypes.cast(ctypes.c_char_p(data), ctypes.c_void_p)
+    bp = ctypes.c_long(0)
+    nc = ctypes.c_long(0)
+    out = np.empty(max(4096, len(data) * 4 + dlen), np.uint8)
+    if dlen:
+        out[:dlen] = np.frombuffer(dct, np.uint8)
+    ol = ctypes.c_long(dlen)
+    while True:
+        ret = lib.zng_inflate_stream(
+            dptr, len(data), ctypes.byref(bp),
+            ctypes.c_void_p(st.ctypes.data),
+            ctypes.c_void_p(lit.ctypes.data), lit.size,
+            ctypes.c_void_p(dist.ctypes.data), dist.size,
+            ctypes.c_void_p(out.ctypes.data), out.size, ctypes.byref(ol),
+            wsize, 1, ctypes.byref(nc), 0)
+        if ret != 2:
+            break
+        bigger = np.empty(out.size * 2, np.uint8)
+        bigger[:ol.value] = out[:ol.value]
+        out = bigger
+    if ret == 0:
+        return out[dlen:ol.value].tobytes(), bp.value
+    if ret == -13:
+        return None
+    raise InflateError(_STREAM_ERRMSG[ret])
+
+
 def inflate_raw(data: bytes, wbits: int = 15, dictionary: bytes | None = None,
                 strict_dist: bool = False):
     """One-shot raw inflate. Returns (output_bytes, bits_consumed)."""
+    lib = _native()
+    if lib is not None:
+        r = _inflate_raw_native(lib, bytes(data), wbits, dictionary)
+        if r is not None:
+            return r
     inf = RawInflater(wbits=wbits, dictionary=dictionary, strict_dist=strict_dist)
     inf.feed(data)
     r = inf.run(finish=True)
