@@ -24,7 +24,7 @@ from zlibng_tpu.format.constants import (
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 
-text = open("/root/reference/test/data/lcet10.txt", "rb").read() * 4
+text = open("/root/reference/test/data/lcet10.txt", "rb").read() * 8
 lanes = np.zeros((B, LANE), np.uint8)
 for i in range(B):
     lanes[i] = np.frombuffer(text[i * 65536:i * 65536 + LANE], np.uint8)

@@ -43,8 +43,10 @@ from .lz77_jax import lane_freqs, lz77_lane
 LANE_HIST = WINDOW_SIZE          # 32768
 LANE_BLOCK = 1 << 16             # 65536 payload bytes per lane
 LANE = LANE_HIST + LANE_BLOCK
+QPL = 4                          # block-choice units (quarters) per lane
+UNIT = LANE_BLOCK // QPL         # 16384: stored/tree choice granule
 HMAX = 704                       # max dynamic-header tokens (worst-case RLE)
-OUT_MAX = 1 << 17                # per-lane packed output bound (bytes)
+OUT_Q = (1 << 15) + 2048         # per-unit packed output bound (bytes)
 MAX_LANES = 32                   # lanes per device call (2 MiB payload)
 
 I32 = jnp.int32
@@ -56,20 +58,21 @@ U32 = jnp.uint32
 # ---------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("chain", "lazy", "max_lazy", "nice"))
 def _stage1(lanes, enc_ends, hist_valids, chain, lazy, max_lazy, nice=258):
-    from .lz77_jax import finalize_tokens
+    from .lz77_jax import finalize_tokens, unit_freqs
     from .parse_pallas import parse_select
 
     def one(lane, ee, hv):
         return lz77_lane(lane, jnp.int32(LANE_HIST), ee, hv, chain, lazy,
-                         max_lazy, nice)
+                         max_lazy, nice, unit=UNIT)
 
     core = jax.vmap(one)(lanes, enc_ends, hist_valids)
     B = lanes.shape[0]
     bounds = jnp.stack([jnp.full(B, LANE_HIST, jnp.int32), enc_ends], axis=1)
     sel = parse_select(core["step"], bounds)
     outs = finalize_tokens(lanes, core, sel)
-    lfreqs, dfreqs = jax.vmap(lane_freqs)(
-        outs["lsym"], outs["dsym"], outs["sel"], outs["tok_len"] > 0)
+    lfreqs, dfreqs = jax.vmap(
+        lambda ls, ds, se, m: unit_freqs(ls, ds, se, m, LANE_HIST, UNIT, QPL)
+    )(outs["lsym"], outs["dsym"], outs["sel"], outs["tok_len"] > 0)
     # compact the cross-dispatch token arrays: materializing stage outputs
     # costs real HBM bandwidth, and lsym/dsym are recomputable arithmetic
     # functions of (lanes, tok_len, tok_dist) — 5 B/pos instead of 20 B/pos
@@ -83,24 +86,81 @@ def _stage1(lanes, enc_ends, hist_valids, chain, lazy, max_lazy, nice=258):
 def _stage2(lanes, tok_len, tok_dist, sel,
             hdr_lo, hdr_hi, hdr_nb, llen_tab, lcode_tab, dlen_tab, dcode_tab,
             eob_mask):
-    from .lz77_jax import dist_code_arith, length_code_arith
+    """Render + pack per UNIT (quarter-lane): every unit is an independent
+    bitstream against its own code tables, so the host can choose
+    stored/static/dynamic and merge trees at 16 KiB granularity (the
+    reference re-trees every sym_buf fill, trees.c FLUSH_BLOCK economics).
+    Table shapes carry a leading (B, QPL) and packing returns (B, QPL, …)."""
+    from .lz77_jax import (
+        dist_code_arith, dist_extra_arith, length_code_arith,
+        length_extra_arith, lookup_via_onehot, onehot_i8,
+    )
 
-    def one(lane, tl, td, se, hlo, hhi, hnb, lt, lc, dt, dc, em):
+    def qone(qbytes, tl, td, se, hlo, hhi, hnb, lt, lc, dt, dc, em):
         tl = tl.astype(I32)
         td = td.astype(I32)
+        N = qbytes.shape[0]
+        pos = jnp.arange(N, dtype=I32)
+
+        # ---- cost-model demotion (the TOO_FAR idea made exact): with the
+        # unit's real Huffman tables in hand, re-examine every selected
+        # match — if its encoded bits exceed its span encoded as literals,
+        # demote it to literals. Under the already-chosen tables this
+        # strictly shrinks the block; the common win is the spurious
+        # short-far match on low-redundancy data (reference drops only
+        # len-3/dist>4096, deflate.c TOO_FAR; this is the general form).
+        # Matches never cross unit boundaries (lz77_lane unit cap), so all
+        # span accounting stays inside this unit.
+        is_match = (tl > 0) & se
+        lsm = jnp.where(is_match, length_code_arith(jnp.maximum(tl, 3)), 257)
+        dsm = jnp.where(is_match, dist_code_arith(jnp.maximum(td, 1)), 0)
+        le_, _ = length_extra_arith(jnp.maximum(tl, 3))
+        de_, _ = dist_extra_arith(jnp.maximum(td, 1))
+        lcost = lookup_via_onehot(
+            onehot_i8(lsm - 257, 32),
+            jnp.concatenate([lt[257:287], jnp.zeros(2, I32)])[:, None])[:, 0]
+        dcost = lookup_via_onehot(
+            onehot_i8(dsm, 32),
+            jnp.concatenate([dt, jnp.zeros(2, I32)])[:, None])[:, 0]
+        match_bits = lcost + le_ + dcost + de_
+        lit_bits = lookup_via_onehot(onehot_i8(qbytes.astype(I32), 288),
+                                     lt[:, None])[:, 0]
+        csum = jnp.cumsum(jnp.stack([lit_bits,
+                                     (lit_bits == 0).astype(I32)], axis=1),
+                          axis=0)
+        csum = jnp.concatenate([jnp.zeros((1, 2), I32), csum], axis=0)
+        endq = jnp.clip(pos + tl, 0, N)
+        at_end = csum[endq]                       # the one dynamic gather
+        span_bits = at_end[:, 0] - csum[:-1, 0]
+        span_zero = (at_end[:, 1] - csum[:-1, 1]) > 0
+        demote = is_match & ~span_zero & (match_bits > span_bits)
+        end_max = jax.lax.cummax(jnp.where(demote, pos + tl, 0))
+        covered = pos < end_max
+        se = se | covered
+        tl = jnp.where(covered, 0, tl)
+        td = jnp.where(covered, 0, td)
+
         is_match = tl > 0
         ls = jnp.where(is_match, length_code_arith(jnp.maximum(tl, 3)),
-                       lane.astype(I32))
+                       qbytes.astype(I32))
         ds = jnp.where(is_match, dist_code_arith(jnp.maximum(td, 1)), 0)
         lo, hi, nb = render_body_tokens(tl, td, ls, ds, se, lt, lc, dt, dc)
-        # EOB is emitted only on the last lane of a merged block group
+        # EOB is emitted only on the last unit of a merged block group
         eob_lo = (lc[256].astype(U32) * em.astype(U32))[None]
         eob_hi = jnp.zeros(1, U32)
         eob_nb = (lt[256] * em)[None].astype(I32)
         lo_all = jnp.concatenate([hlo, lo, eob_lo])
         hi_all = jnp.concatenate([hhi, hi, eob_hi])
         nb_all = jnp.concatenate([hnb, nb, eob_nb])
-        return hierarchical_pack(lo_all, hi_all, nb_all, OUT_MAX)
+        return hierarchical_pack(lo_all, hi_all, nb_all, OUT_Q)
+
+    def one(lane, tl, td, se, hlo, hhi, hnb, lt, lc, dt, dc, em):
+        pay = lane[LANE_HIST:].reshape(QPL, UNIT)
+        tlq = tl.astype(I32)[LANE_HIST:].reshape(QPL, UNIT)
+        tdq = td.astype(I32)[LANE_HIST:].reshape(QPL, UNIT)
+        seq = se[LANE_HIST:].reshape(QPL, UNIT)
+        return jax.vmap(qone)(pay, tlq, tdq, seq, hlo, hhi, hnb,
+                              lt, lc, dt, dc, em)
 
     return jax.vmap(one)(lanes, tok_len, tok_dist, sel,
                          hdr_lo, hdr_hi, hdr_nb,
@@ -170,6 +230,21 @@ def _extra_cost(lfreq: np.ndarray, dfreq: np.ndarray) -> int:
     return int((lfreq * lext).sum() + (dfreq * DIST_EXTRA[:30].astype(np.int64)).sum())
 
 
+def _est_block_bits(lfreq: np.ndarray, dfreq: np.ndarray) -> float:
+    """Entropy + extra-bits + header-model estimate of one dynamic block.
+    Used only for grouping/stored decisions (exact tree costs are computed
+    after the partition is fixed); entropy slightly underestimates Huffman
+    bits but the bias cancels in merge comparisons."""
+    bits = float(_extra_cost(lfreq, dfreq))
+    for f in (lfreq, dfreq):
+        tot = f.sum()
+        if tot:
+            nz = f[f > 0].astype(np.float64)
+            bits += float((nz * (np.log2(tot) - np.log2(nz))).sum())
+    used = int((lfreq > 0).sum()) + int((dfreq > 0).sum())
+    return bits + 3 + 14 + 57 + 5 * used
+
+
 # ---------------------------------------------------------------------------
 # main entry
 # ---------------------------------------------------------------------------
@@ -220,47 +295,89 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
     def _dispatch_stage2(gm: dict) -> None:
         g0, g1, B, Bpad = gm["g0"], gm["g1"], gm["B"], gm["Bpad"]
         enc_ends, outs, lanes_d = gm["enc_ends"], gm["outs"], gm["lanes_d"]
-        lfreqs = np.asarray(gm["lfreqs_d"])
-        dfreqs = np.asarray(gm["dfreqs_d"])
+        lfreqs = np.asarray(gm["lfreqs_d"])          # (Bpad, QPL, 286)
+        dfreqs = np.asarray(gm["dfreqs_d"])          # (Bpad, QPL, 30)
 
-        # host: per-lane table build + type choice + header tokens
-        hdr_lo = np.zeros((Bpad, HMAX), np.uint32)
-        hdr_hi = np.zeros((Bpad, HMAX), np.uint32)
-        hdr_nb = np.zeros((Bpad, HMAX), np.int32)
-        llen_tab = np.zeros((Bpad, 288), np.int32)
-        lcode_tab = np.zeros((Bpad, 288), np.int32)
-        dlen_tab = np.zeros((Bpad, 30), np.int32)
-        dcode_tab = np.zeros((Bpad, 30), np.int32)
-        stored_mask = np.zeros(Bpad, bool)
+        # host: per-unit table build + block-type choice + header tokens
+        hdr_lo = np.zeros((Bpad, QPL, HMAX), np.uint32)
+        hdr_hi = np.zeros((Bpad, QPL, HMAX), np.uint32)
+        hdr_nb = np.zeros((Bpad, QPL, HMAX), np.int32)
+        llen_tab = np.zeros((Bpad, QPL, 288), np.int32)
+        lcode_tab = np.zeros((Bpad, QPL, 288), np.int32)
+        dlen_tab = np.zeros((Bpad, QPL, 30), np.int32)
+        dcode_tab = np.zeros((Bpad, QPL, 30), np.int32)
+        eob_mask = np.zeros((Bpad, QPL), np.int32)
+        stored_mask = np.zeros((Bpad, QPL), bool)
+        unit_lens = np.zeros((Bpad, QPL), np.int32)
 
-        # group consecutive low-token lanes into ONE merged DEFLATE block
-        # (shared table, one header, EOB only on the group's last lane) —
-        # per-block header overhead otherwise dominates highly compressible
-        # corpora (trees.c emits one tree per flush for the same reason)
-        tokcnt = lfreqs.sum(axis=1)
-        MERGE_TOK = 4096
-        groups: list[list[int]] = []
-        cur: list[int] = []
-        curtok = 0
-        for i in range(B):
-            small = int(tokcnt[i]) <= MERGE_TOK
-            if cur and (not small or curtok + int(tokcnt[i]) > 4 * MERGE_TOK):
-                groups.append(cur)
-                cur, curtok = [], 0
-            if small:
-                cur.append(i)
-                curtok += int(tokcnt[i])
+        # unit inventory in stream order (units = 16 KiB block granules)
+        units: list[tuple[int, int]] = []
+        for i, bi in enumerate(range(g0, g1)):
+            blen = int(enc_ends[i]) - LANE_HIST
+            for q in range(QPL):
+                ul = max(0, min(UNIT, blen - q * UNIT))
+                unit_lens[i, q] = ul
+                if ul > 0:
+                    units.append((i, q))
+
+        # stored pre-pass: a unit whose raw bytes beat its own entropy
+        # estimate is emitted stored (the per-16K stored/huff adaptivity
+        # zlib-ng gets from per-sym_buf FLUSH_BLOCK type choice)
+        est: dict[tuple[int, int], float] = {}
+        is_stored: dict[tuple[int, int], bool] = {}
+        for u in units:
+            i, q = u
+            e = _est_block_bits(lfreqs[i, q].astype(np.int64),
+                                dfreqs[i, q].astype(np.int64))
+            est[u] = e
+            is_stored[u] = 42 + 8 * int(unit_lens[i, q]) < e
+            if is_stored[u]:
+                stored_mask[i, q] = True
+
+        # greedy agglomeration of consecutive huff units: merge while the
+        # combined estimate beats separate blocks (one header saved vs
+        # distribution-divergence penalty) — content shifts split, homo-
+        # geneous runs share one tree (trees.c per-flush economics)
+        groups: list[list[tuple[int, int]]] = []
+        cur: list[tuple[int, int]] | None = None
+        cur_lf = cur_df = None
+        cur_est = 0.0
+        for u in units:
+            if is_stored[u]:
+                if cur:
+                    groups.append(cur)
+                cur = None
+                continue
+            i, q = u
+            lf = lfreqs[i, q].astype(np.int64)
+            df = dfreqs[i, q].astype(np.int64)
+            if cur is None:
+                cur, cur_lf, cur_df, cur_est = [u], lf, df, est[u]
+                continue
+            mlf = cur_lf + lf
+            mdf = cur_df + df
+            me = _est_block_bits(mlf, mdf)
+            if me <= cur_est + est[u]:
+                cur.append(u)
+                cur_lf, cur_df, cur_est = mlf, mdf, me
             else:
-                groups.append([i])
+                groups.append(cur)
+                cur, cur_lf, cur_df, cur_est = [u], lf, df, est[u]
         if cur:
             groups.append(cur)
 
-        eob_mask = np.zeros(Bpad, np.int32)
+        # BFINAL goes on the stream's very last unit (huff header bit here;
+        # stored units get it in the stitcher)
+        last_unit = units[-1] if (g1 == nblocks and units) else None
+
         for grp in groups:
-            gfinal = (g0 + grp[-1]) == nblocks - 1
-            lfreq = lfreqs[grp].sum(axis=0).astype(np.int64)
+            gfinal = last_unit is not None and grp[-1] == last_unit
+            lfreq = np.zeros(286, np.int64)
+            dfreq = np.zeros(30, np.int64)
+            for (i, q) in grp:
+                lfreq += lfreqs[i, q]
+                dfreq += dfreqs[i, q]
             lfreq[256] += 1  # one EOB per merged block
-            dfreq = dfreqs[grp].sum(axis=0).astype(np.int64)
             extra = _extra_cost(lfreq, dfreq)
             static_bits = int((lfreq * FIXED_LIT_LENGTHS[:286]).sum()
                               + (dfreq * FIXED_DIST_LENGTHS).sum()) + extra
@@ -274,26 +391,27 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                     + extra + hbits
             best = static_bits if dyn_bits is None else min(static_bits, dyn_bits)
             if len(grp) == 1:
-                i = grp[0]
-                blen = int(enc_ends[i]) - LANE_HIST
-                stored_bits = 32 + 8 * blen + 7  # upper bound incl. alignment
-                if blen <= 0xFFFF and stored_bits < best + 3:
-                    stored_mask[i] = True
+                i, q = grp[0]
+                ul = int(unit_lens[i, q])
+                stored_bits = 32 + 8 * ul + 7  # upper bound incl. alignment
+                if stored_bits < best + 3:
+                    stored_mask[i, q] = True
                     continue
             eob_mask[grp[-1]] = 1
             if dyn_bits is not None and dyn_bits < static_bits:
                 tokens = [(int(gfinal) | (2 << 1), 3)] + toks
-                for i in grp:
-                    llen_tab[i, :286], lcode_tab[i, :286] = llen, lcode
-                    dlen_tab[i], dcode_tab[i] = dlen, dcode
+                for (i, q) in grp:
+                    llen_tab[i, q, :286], lcode_tab[i, q, :286] = llen, lcode
+                    dlen_tab[i, q], dcode_tab[i, q] = dlen, dcode
             else:
                 tokens = [(int(gfinal) | (1 << 1), 3)]
-                for i in grp:
-                    llen_tab[i] = FIXED_LIT_LENGTHS
-                    lcode_tab[i] = FIXED_LIT_CODES_REV
-                    dlen_tab[i, :] = FIXED_DIST_LENGTHS
-                    dcode_tab[i, :] = FIXED_DIST_CODES_REV
-            hdr_lo[grp[0]], hdr_hi[grp[0]], hdr_nb[grp[0]] = \
+                for (i, q) in grp:
+                    llen_tab[i, q] = FIXED_LIT_LENGTHS
+                    lcode_tab[i, q] = FIXED_LIT_CODES_REV
+                    dlen_tab[i, q, :] = FIXED_DIST_LENGTHS
+                    dcode_tab[i, q, :] = FIXED_DIST_CODES_REV
+            i0, q0 = grp[0]
+            hdr_lo[i0, q0], hdr_hi[i0, q0], hdr_nb[i0, q0] = \
                 _header_tokens_to_arrays(tokens)
 
         packed, totals = _stage2(
@@ -305,26 +423,30 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
         gm["packed_d"] = packed
         gm["totals_d"] = totals
         gm["stored_mask"] = stored_mask
+        gm["unit_lens"] = unit_lens
         # stage1 intermediates are no longer needed on device
         del gm["outs"], gm["lanes_d"], gm["lfreqs_d"], gm["dfreqs_d"]
 
     def _stitch(gm: dict) -> None:
-        packed = np.asarray(gm["packed_d"])
-        totals = np.asarray(gm["totals_d"])
-        stored_mask, enc_ends = gm["stored_mask"], gm["enc_ends"]
+        packed = np.asarray(gm["packed_d"])          # (Bpad, QPL, OUT_Q)
+        totals = np.asarray(gm["totals_d"])          # (Bpad, QPL)
+        stored_mask, unit_lens = gm["stored_mask"], gm["unit_lens"]
         for i, bi in enumerate(range(gm["g0"], gm["g1"])):
-            final = bi == nblocks - 1
-            blen = int(enc_ends[i]) - LANE_HIST
-            if stored_mask[i]:
-                pad = (8 - ((stitch.bits + 3) & 7)) & 7
-                stitch.append_tokens([
-                    (int(final), 1), (0, 2), (0, pad),
-                    (blen, 16), (~blen & 0xFFFF, 16)])
-                raw = vbuf[LANE_HIST + bi * LANE_BLOCK:
-                           LANE_HIST + bi * LANE_BLOCK + blen]
-                stitch.append(raw, blen * 8)
-            else:
-                stitch.append(packed[i], int(totals[i]))
+            blen = int(gm["enc_ends"][i]) - LANE_HIST
+            for q in range(QPL):
+                ul = int(unit_lens[i, q])
+                if ul == 0:
+                    continue
+                if stored_mask[i, q]:
+                    final = (bi == nblocks - 1) and (q * UNIT + ul == blen)
+                    pad = (8 - ((stitch.bits + 3) & 7)) & 7
+                    stitch.append_tokens([
+                        (int(final), 1), (0, 2), (0, pad),
+                        (ul, 16), (~ul & 0xFFFF, 16)])
+                    off = LANE_HIST + bi * LANE_BLOCK + q * UNIT
+                    stitch.append(vbuf[off:off + ul], ul * 8)
+                else:
+                    stitch.append(packed[i, q], int(totals[i, q]))
         del gm["packed_d"], gm["totals_d"]
 
     inflight: list[dict] = []

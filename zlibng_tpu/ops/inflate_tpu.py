@@ -312,18 +312,33 @@ def _accept_tokens(cur: _Cursor, kind, litlen, dist, end, ntok,
     return True
 
 
+def _phase_a_default(lanes, lits, dists, starts, lit_masks, dist_masks):
+    """Single-device phase A dispatch (numpy in/out)."""
+    outs = _phase_a(jnp.asarray(lanes), jnp.asarray(lits), jnp.asarray(dists),
+                    jnp.asarray(starts), jnp.asarray(lit_masks),
+                    jnp.asarray(dist_masks))
+    return tuple(np.asarray(o) for o in outs)
+
+
 def _decode_segments(comp: bytes, seg_bounds, dictionary: bytes | None,
-                     wsize: int):
+                     wsize: int, phase_a_fn=None, phase_b_fn=None):
     """Decode independent raw-deflate segments of `comp`. seg_bounds is a
     list of (start_bit, end_bit | None); a segment ends at its final block
     or at end_bit (a full-flush boundary — such segments have no final
     block). The dictionary applies to the first segment only (full-flush
-    resets history). Returns (outputs, end_bits)."""
+    resets history). Returns (outputs, end_bits).
+
+    phase_a_fn/phase_b_fn inject alternative device dispatches (the
+    mesh-sharded steps in parallel/sharded.py); None = single-device.
+    phase_b_fn, when given, receives batched (S, T) token arrays padded to
+    one common (t_cap, out_cap) and returns (outs (S, out_cap), bad (S,))."""
     comp_np = np.frombuffer(comp, np.uint8)
     parser = RawInflater()
     parser.feed(comp)
     cursors = [_Cursor(s, e) for s, e in seg_bounds]
     max_bucket = len(_CB_BUCKETS) - 1
+    if phase_a_fn is None:
+        phase_a_fn = _phase_a_default
 
     while True:
         # host: headers + stored blocks; collect lanes needing the device
@@ -363,13 +378,8 @@ def _decode_segments(comp: bytes, seg_bounds, dictionary: bytes | None,
                 dist_masks[i] = (1 << wd) - 1
                 starts[i] = sym_bit - 8 * base_byte
                 meta.append((cur, 8 * base_byte, 8 * chunk.size))
-            tk, tl, td, te, nt = _phase_a(
-                jnp.asarray(lanes), jnp.asarray(lits), jnp.asarray(dists),
-                jnp.asarray(starts), jnp.asarray(lit_masks),
-                jnp.asarray(dist_masks))
-            tk, tl, td, te, nt = (np.asarray(tk), np.asarray(tl),
-                                  np.asarray(td), np.asarray(te),
-                                  np.asarray(nt))
+            tk, tl, td, te, nt = phase_a_fn(lanes, lits, dists, starts,
+                                            lit_masks, dist_masks)
             for i, (cur, base_bit, real_bits) in enumerate(meta):
                 ok = _accept_tokens(cur, tk[i], tl[i], td[i], te[i], nt[i],
                                     base_bit, real_bits)
@@ -378,7 +388,7 @@ def _decode_segments(comp: bytes, seg_bounds, dictionary: bytes | None,
                         raise _Fallback      # pathological block size
                     cur.bucket += 1
 
-    # phase B per segment
+    # phase B
     dict_bytes = (dictionary or b"")[-32768:]
     dictv = np.zeros(1 << 15, np.uint8)
     if dict_bytes:
@@ -388,6 +398,10 @@ def _decode_segments(comp: bytes, seg_bounds, dictionary: bytes | None,
     comp_pad[:len(comp)] = comp_np
     dictv_j = jnp.asarray(dictv)
     comp_j = jnp.asarray(comp_pad)
+
+    if phase_b_fn is not None:
+        return _phase_b_batched(cursors, dict_bytes, comp_j, dictv_j, wsize,
+                                phase_b_fn)
 
     outputs, end_bits = [], []
     for si, cur in enumerate(cursors):
@@ -414,6 +428,40 @@ def _decode_segments(comp: bytes, seg_bounds, dictionary: bytes | None,
             raise _Fallback                  # exact message via serial path
         outputs.append(np.asarray(out)[_DPAD:_DPAD + cur.total_out].tobytes())
         end_bits.append(cur.pos)
+    return outputs, end_bits
+
+
+def _phase_b_batched(cursors, dict_bytes, comp_j, dictv_j, wsize,
+                     phase_b_fn):
+    """Batched phase B: all segments padded to one (t_cap, out_cap) and
+    reconstructed in a single (sharded) dispatch."""
+    live = [(si, cur) for si, cur in enumerate(cursors) if cur.toks]
+    outputs = [b""] * len(cursors)
+    end_bits = [cur.pos for cur in cursors]
+    if live:
+        t_cap = max(1 << 10, 1 << max(
+            (sum(len(t[0]) for t in cur.toks) - 1).bit_length()
+            for _, cur in live))
+        out_cap = 1 << int(np.ceil(np.log2(
+            _DPAD + max(cur.total_out for _, cur in live) + 1)))
+        S = len(live)
+        kinds = np.zeros((S, t_cap), np.int32)
+        auxs = np.zeros((S, t_cap), np.int32)
+        olens = np.zeros((S, t_cap), np.int32)
+        dlens = np.zeros(S, np.int32)
+        for j, (si, cur) in enumerate(live):
+            kind = np.concatenate([t[0] for t in cur.toks])
+            kinds[j, :len(kind)] = kind
+            auxs[j, :len(kind)] = np.concatenate([t[1] for t in cur.toks])
+            olens[j, :len(kind)] = np.concatenate([t[2] for t in cur.toks])
+            dlens[j] = len(dict_bytes) if si == 0 else 0
+        outs, bads = phase_b_fn(kinds, auxs, olens, comp_j, dictv_j, dlens,
+                                wsize, out_cap)
+        if bool(np.asarray(bads).any()):
+            raise _Fallback
+        for j, (si, cur) in enumerate(live):
+            outputs[si] = np.asarray(
+                outs[j])[_DPAD:_DPAD + cur.total_out].tobytes()
     return outputs, end_bits
 
 

@@ -32,6 +32,18 @@ from ..lz77.engine import HASH_MULT, TOO_FAR
 U32 = jnp.uint32
 I32 = jnp.int32
 
+# Probe width in 4-byte words (2 = 8-byte probes, 4 = 16-byte). Wider
+# probes break more winner ties exactly; narrower ones are ~2x cheaper
+# per probe pass and defer tie-breaks to the wide-extension stage.
+PROBE_WORDS = 4
+
+
+def probe_offsets(chain: int) -> tuple[int, ...]:
+    """Sorted-neighbor offsets probed per position (k-th most recent
+    same-hash predecessor). Linear: distant same-hash entries are distinct
+    candidates, not duplicates (measured: sparse ladders lose ~0.3-1.1%)."""
+    return tuple(range(1, chain + 1))
+
 
 def _hash4(data: jnp.ndarray) -> jnp.ndarray:
     """(N,) uint8 -> (N,) int32 16-bit multiplicative hash of 4 bytes."""
@@ -104,9 +116,12 @@ def dist_extra_arith(dist: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 # ---------------------------------------------------------------------------
 def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
               hist_valid_from: jnp.ndarray, chain: int, lazy: bool,
-              max_lazy: int, nice: int = 258) -> dict:
+              max_lazy: int, nice: int = 258, unit: int = 0) -> dict:
     """data: (LANE,) uint8. enc_start/enc_end/hist_valid_from: () int32.
-    Returns per-position token info dict (fixed shapes)."""
+    unit > 0 caps matches at `unit`-byte boundaries past enc_start so the
+    encoder can emit any unit as an independent block (stored/tree choice
+    per unit) with no token crossing into it. Returns per-position token
+    info dict (fixed shapes)."""
     N = data.shape[0]
     pos = jnp.arange(N, dtype=I32)
     # columns needed for extension: 4 bytes per column, +1 column of slack
@@ -125,28 +140,25 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
     order = jnp.argsort(h, stable=True).astype(I32)     # (N,)
     inv = jnp.argsort(order).astype(I32)                # inverse permutation
     h_sorted = h[order]
-    # 16-byte probe rows (4 words) — longer probes break winner ties that
-    # chain-order heuristics get wrong (measured: ≈2% ratio)
-    w2 = jnp.stack([w4[:N], w4[4:N + 4], w4[8:N + 8], w4[12:N + 12]], axis=1)
-    w2_s = w2[order]                                    # row gather (16B rows)
+    # probe rows (PROBE_WORDS u32 words each) — longer probes break winner
+    # ties that chain-order heuristics get wrong (measured: ≈2% ratio for
+    # 16B vs 4B)
+    W = PROBE_WORDS
+    w2 = jnp.stack([w4[4 * i: N + 4 * i] for i in range(W)], axis=1)
+    w2_s = w2[order]                                    # row gather
 
     NEG = jnp.int32(-(1 << 30))
     best_score = jnp.full(N, NEG, I32)
     best_cand_s = jnp.zeros(N, I32)
     pos_s = order
-    for k in range(1, chain + 1):
+    for k in probe_offsets(chain):
         cand = jnp.concatenate([jnp.zeros(k, I32), pos_s[:-k]])
         same = jnp.concatenate([jnp.zeros(k, bool), h_sorted[k:] == h_sorted[:-k]])
-        zk = jnp.zeros((k, 4), U32)
-        x = w2_s ^ jnp.concatenate([zk, w2_s[:-k]], axis=0)  # (N, 4)
-        l4a = _ctz_bytes32(x[:, 0])
-        l4b = _ctz_bytes32(x[:, 1])
-        l4c = _ctz_bytes32(x[:, 2])
-        l4d = _ctz_bytes32(x[:, 3])
-        l16 = jnp.where(x[:, 0] != 0, l4a,
-                        4 + jnp.where(x[:, 1] != 0, l4b,
-                                      4 + jnp.where(x[:, 2] != 0, l4c,
-                                                    4 + l4d)))
+        zk = jnp.zeros((k, W), U32)
+        x = w2_s ^ jnp.concatenate([zk, w2_s[:-k]], axis=0)  # (N, W)
+        l16 = _ctz_bytes32(x[:, W - 1])
+        for w in range(W - 2, -1, -1):
+            l16 = jnp.where(x[:, w] != 0, _ctz_bytes32(x[:, w]), 4 + l16)
         dist = pos_s - cand
         ok = same & (cand >= hist_valid_from) & (dist <= WINDOW_SIZE) & (dist > 0)
         score = jnp.where(ok, (l16 << 20) - dist, NEG)
@@ -171,7 +183,7 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
     # columnar compare; those are compacted into fixed-size batches of M
     # and extended inside a while_loop, so cost is proportional to the
     # data's long-match density instead of a dense (N, CX) row gather.
-    N_PROBE = 16
+    N_PROBE = 4 * PROBE_WORDS
     if n_ext <= N_PROBE:
         ext = l16                                        # probe is exact
     else:
@@ -205,6 +217,8 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
         _, ext = jax.lax.while_loop(
             lambda st: st[0] * M < total, wide_body, (jnp.int32(0), l16))
     cap = jnp.minimum(MAX_MATCH, enc_end - pos)
+    if unit > 0:  # stop at the next unit boundary (block-choice granule)
+        cap = jnp.minimum(cap, unit - ((pos - enc_start) % unit))
     blen = jnp.minimum(jnp.minimum(ext, n_ext), cap)
     blen = jnp.where(has_cand, blen, 0)
 
@@ -223,6 +237,8 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
     best_dist = jnp.where(use_run, 1, best_dist)
 
     # ---- minimum / too-far filters -------------------------------------
+    # (exact cost-based match demotion happens later, in stage 2, once the
+    # block's real Huffman tables exist — ops/deflate_tpu.py)
     ok = (blen >= MIN_MATCH) & ~((blen == MIN_MATCH) & (best_dist > TOO_FAR))
     blen = jnp.where(ok, blen, 0)
     best_dist = jnp.where(ok, best_dist, 0)
@@ -312,3 +328,21 @@ def lane_freqs(lsym: jnp.ndarray, dsym: jnp.ndarray, sel: jnp.ndarray,
     lfreq = jnp.matmul(lw[None, :], ohl, preferred_element_type=I32)[0]
     dfreq = jnp.matmul(dw[None, :], ohd, preferred_element_type=I32)[0]
     return lfreq[:286], dfreq[:30]
+
+
+def unit_freqs(lsym: jnp.ndarray, dsym: jnp.ndarray, sel: jnp.ndarray,
+               is_match: jnp.ndarray, hist: int, unit: int, q: int):
+    """Per-unit token histograms: tokens binned by the unit containing
+    their start position ((pos-hist)//unit). Same one-matmul form as
+    lane_freqs with a (q, N) weight matrix. Returns (q,286), (q,30)."""
+    N = lsym.shape[0]
+    pos = jnp.arange(N, dtype=I32)
+    qid = jnp.clip((pos - hist) // unit, 0, q - 1)
+    qmask = qid[None, :] == jnp.arange(q, dtype=I32)[:, None]       # (q, N)
+    ohl = onehot_i8(lsym, 288)
+    ohd = onehot_i8(dsym, 32)
+    lw = (qmask & sel[None, :]).astype(jnp.int8)
+    dw = (qmask & (sel & is_match)[None, :]).astype(jnp.int8)
+    lfreq = jnp.matmul(lw, ohl, preferred_element_type=I32)
+    dfreq = jnp.matmul(dw, ohd, preferred_element_type=I32)
+    return lfreq[:, :286], dfreq[:, :30]

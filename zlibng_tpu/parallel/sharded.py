@@ -163,3 +163,303 @@ def combine_shard_adlers(adlers: np.ndarray, shard_payload_lens) -> int:
     for a, ln in zip(adlers.tolist(), shard_payload_lens):
         acc = adler32_combine(acc, int(a), int(ln))
     return acc
+
+
+# ---------------------------------------------------------------------------
+# dynamic-Huffman SPMD pipeline (two sharded programs + host tree build)
+# ---------------------------------------------------------------------------
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except TypeError:  # older jax without check_vma
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs)
+
+
+def make_stage1_step(mesh: Mesh, chain: int = 4, lazy: bool = True,
+                     max_lazy: int = 16, nice: int = 258, axis: str = "d"):
+    """Sharded stage 1: LZ77 parse + per-lane symbol histograms.
+
+    (lanes (B,L) u8, enc_starts, enc_ends, hist_valids (B,) i32) ->
+    (sel (B,L) bool, tok_len/tok_dist (B,L) u16, lfreq (B,286), dfreq (B,30)),
+    all sharded on `axis`. The freqs go to the host, which builds each
+    lane's dynamic Huffman table (the exact host/device split the
+    single-chip pipeline uses — ops/deflate_tpu.py stage boundaries).
+    """
+    from ..ops.lz77_jax import finalize_tokens, lane_freqs
+    from ..ops.parse_pallas import parse_select
+
+    def shard_fn(lanes, enc_starts, enc_ends, hist_valids):
+        core = jax.vmap(lambda l, es, ee, hv: lz77_lane(
+            l, es, ee, hv, chain, lazy, max_lazy, nice))(
+                lanes, enc_starts, enc_ends, hist_valids)
+        bounds = jnp.stack([enc_starts, enc_ends], axis=1)
+        sel = parse_select(core["step"], bounds)
+        outs = finalize_tokens(lanes, core, sel)
+        lfreq, dfreq = jax.vmap(lane_freqs)(
+            outs["lsym"], outs["dsym"], outs["sel"], outs["tok_len"] > 0)
+        return (outs["sel"].astype(bool), outs["tok_len"].astype(jnp.uint16),
+                outs["tok_dist"].astype(jnp.uint16), lfreq, dfreq)
+
+    smapped = _shard_map(shard_fn, mesh,
+                         (P(axis), P(axis), P(axis), P(axis)),
+                         (P(axis), P(axis), P(axis), P(axis), P(axis)))
+    return jax.jit(smapped)
+
+
+def make_stage2_step(mesh: Mesh, out_max: int, axis: str = "d"):
+    """Sharded stage 2: render + pack each lane as one DEFLATE block
+    against its own (host-built, dynamic or static) code tables, plus the
+    length all_gather and adler combine collectives.
+
+    (lanes, tok_len, tok_dist, sel, hdr_lo/hi/nb (B,HMAX), llen/lcode
+    (B,288), dlen/dcode (B,30), enc_starts, enc_ends) ->
+    (packed (B,out_max) u8, total_bits (B,), all_bits (B,) replicated,
+    shard_adlers (n_dev,) replicated).
+    """
+    from ..ops.lz77_jax import dist_code_arith, length_code_arith
+
+    def emit_lane(lane, tl, td, se, hlo, hhi, hnb, lt, lc2, dt2, dc2, es, ee):
+        tl = tl.astype(I32)
+        td = td.astype(I32)
+        is_match = tl > 0
+        ls = jnp.where(is_match, length_code_arith(jnp.maximum(tl, 3)),
+                       lane.astype(I32))
+        ds = jnp.where(is_match, dist_code_arith(jnp.maximum(td, 1)), 0)
+        lo, hi, nb = render_body_tokens(tl, td, ls, ds, se, lt, lc2, dt2, dc2)
+        eob_lo = lc2[256].astype(U32)[None]
+        eob_nb = lt[256].astype(I32)[None]
+        lo_all = jnp.concatenate([hlo, lo, eob_lo])
+        hi_all = jnp.concatenate([hhi, hi, jnp.zeros(1, U32)])
+        nb_all = jnp.concatenate([hnb, nb, eob_nb])
+        packed, total = hierarchical_pack(lo_all, hi_all, nb_all, out_max)
+        adler = _lane_adler(lane, es, ee)
+        return packed, total, adler, (ee - es)
+
+    def shard_fn(lanes, tok_len, tok_dist, sel, hdr_lo, hdr_hi, hdr_nb,
+                 llen, lcode, dlen, dcode, enc_starts, enc_ends):
+        packed, totals, adlers, lens = jax.vmap(emit_lane)(
+            lanes, tok_len, tok_dist, sel, hdr_lo, hdr_hi, hdr_nb,
+            llen, lcode, dlen, dcode, enc_starts, enc_ends)
+
+        def fold(a, x):
+            ad, ln = x
+            return _adler_combine_pair(a, ad, ln.astype(U32)).astype(
+                jnp.uint32), None
+        init = jnp.zeros((), jnp.uint32) + 1
+        try:
+            init = jax.lax.pcast(init, (axis,), to="varying")
+        except (AttributeError, TypeError):
+            pass
+        shard_adler, _ = jax.lax.scan(fold, init, (adlers, lens))
+        all_bits = jax.lax.all_gather(totals, axis, tiled=True)
+        shard_adler_all = jax.lax.all_gather(shard_adler[None], axis,
+                                             tiled=True)
+        return packed, totals, all_bits, shard_adler_all
+
+    smapped = _shard_map(shard_fn, mesh,
+                         (P(axis),) * 13,
+                         (P(axis), P(axis), P(), P()))
+    return jax.jit(smapped)
+
+
+def compress_multichip(data: bytes, mesh: Mesh, level: int = 6,
+                       lane_block: int = 1 << 16, axis: str = "d") -> bytes:
+    """Full multi-chip zlib compression: lanes shard across the mesh, each
+    lane becomes one DEFLATE block with its own dynamic/static tree
+    (host-built from device histograms, like the single-chip pipeline),
+    host stitches the bit-aligned shards and wraps with the device-combined
+    adler32. Output is a standard single-stream zlib member."""
+    from ..format import headers as H
+    from ..format.constants import (
+        FIXED_DIST_CODES_REV as FDC, FIXED_DIST_LENGTHS as FDL,
+        FIXED_LIT_CODES_REV as FLC, FIXED_LIT_LENGTHS as FLL, MAX_BITS,
+        WINDOW_SIZE,
+    )
+    from ..huffman.encode import build_dynamic_header, huffman_table
+    from ..ops.deflate_tpu import (
+        HMAX, _BitStitcher, _extra_cost, _header_tokens_to_arrays,
+    )
+    from ..stream.deflate import LEVELS
+
+    ndev = mesh.devices.size
+    lc = LEVELS[max(1, min(9, level))]
+    buf = np.frombuffer(memoryview(bytes(data)), np.uint8)
+    n = buf.size
+    hist = WINDOW_SIZE
+    lane_sz = hist + lane_block
+    nblocks = max(1, -(-n // lane_block))
+    B = -(-nblocks // ndev) * ndev            # pad lane count to mesh size
+    vbuf = np.concatenate([np.zeros(hist, np.uint8), buf,
+                           np.zeros(B * lane_block - n, np.uint8)])
+    lanes = np.zeros((B, lane_sz), np.uint8)
+    enc_starts = np.full(B, hist, np.int32)
+    enc_ends = np.full(B, hist, np.int32)
+    hist_valids = np.full(B, hist, np.int32)  # empty pad lanes: no history
+    for bi in range(nblocks):
+        lanes[bi] = vbuf[bi * lane_block: bi * lane_block + lane_sz]
+        enc_ends[bi] = hist + min(lane_block, n - bi * lane_block)
+        hist_valids[bi] = hist if bi == 0 else 0
+    out_max = lane_block + (lane_block >> 2) + 1024
+
+    s1 = make_stage1_step(mesh, lc.chain, lc.lazy, lc.max_lazy, lc.nice,
+                          axis=axis)
+    s2 = make_stage2_step(mesh, out_max, axis=axis)
+    sel, tok_len, tok_dist, lfreqs_d, dfreqs_d = s1(
+        jnp.asarray(lanes), jnp.asarray(enc_starts), jnp.asarray(enc_ends),
+        jnp.asarray(hist_valids))
+    lfreqs = np.asarray(lfreqs_d)
+    dfreqs = np.asarray(dfreqs_d)
+
+    # host: per-lane tree build + type choice (dynamic vs static) + header
+    hdr_lo = np.zeros((B, HMAX), np.uint32)
+    hdr_hi = np.zeros((B, HMAX), np.uint32)
+    hdr_nb = np.zeros((B, HMAX), np.int32)
+    llen_tab = np.zeros((B, 288), np.int32)
+    lcode_tab = np.zeros((B, 288), np.int32)
+    dlen_tab = np.zeros((B, 30), np.int32)
+    dcode_tab = np.zeros((B, 30), np.int32)
+    for bi in range(nblocks):
+        final = bi == nblocks - 1
+        lfreq = lfreqs[bi].astype(np.int64)
+        lfreq[256] += 1
+        dfreq = dfreqs[bi].astype(np.int64)
+        extra = _extra_cost(lfreq, dfreq)
+        static_bits = int((lfreq * FLL[:286]).sum() + (dfreq * FDL).sum()) \
+            + extra
+        llen, lcode = huffman_table(lfreq, MAX_BITS)
+        dlen, dcode = huffman_table(dfreq, MAX_BITS)
+        toks, hbits = build_dynamic_header(llen, dlen)
+        dyn_bits = int((lfreq * llen).sum() + (dfreq * dlen).sum()) \
+            + extra + hbits
+        if dyn_bits < static_bits:
+            tokens = [(int(final) | (2 << 1), 3)] + toks
+            llen_tab[bi, :286], lcode_tab[bi, :286] = llen, lcode
+            dlen_tab[bi], dcode_tab[bi] = dlen, dcode
+        else:
+            tokens = [(int(final) | (1 << 1), 3)]
+            llen_tab[bi] = FLL
+            lcode_tab[bi] = FLC
+            dlen_tab[bi, :] = FDL
+            dcode_tab[bi, :] = FDC
+        hdr_lo[bi], hdr_hi[bi], hdr_nb[bi] = _header_tokens_to_arrays(tokens)
+
+    packed, totals, all_bits, shard_adlers = s2(
+        jnp.asarray(lanes), tok_len, tok_dist, sel,
+        jnp.asarray(hdr_lo), jnp.asarray(hdr_hi), jnp.asarray(hdr_nb),
+        jnp.asarray(llen_tab), jnp.asarray(lcode_tab),
+        jnp.asarray(dlen_tab), jnp.asarray(dcode_tab),
+        jnp.asarray(enc_starts), jnp.asarray(enc_ends))
+    packed_np = np.asarray(packed)
+    totals_np = np.asarray(totals)
+
+    stitch = _BitStitcher()
+    for bi in range(nblocks):
+        stitch.append(packed_np[bi], int(totals_np[bi]))
+    shard_lens = [
+        int(sum(enc_ends[i] - enc_starts[i]
+                for i in range(s * (B // ndev), (s + 1) * (B // ndev))))
+        for s in range(ndev)]
+    adler = combine_shard_adlers(np.asarray(shard_adlers), shard_lens)
+    return (H.build_zlib_header(wbits=15, level=level) + stitch.getvalue()
+            + H.build_zlib_trailer(adler))
+
+
+# ---------------------------------------------------------------------------
+# sharded batch decode (phase A/B over the mesh)
+# ---------------------------------------------------------------------------
+def make_decode_phase_a(mesh: Mesh, axis: str = "d"):
+    """Sharded phase A: speculative token resolution over lanes distributed
+    across the mesh (ops/inflate_tpu._phase_a per shard). Lane batch must
+    be divisible by mesh size."""
+    from ..ops.inflate_tpu import _phase_a
+    core = _phase_a.__wrapped__
+
+    smapped = _shard_map(lambda *a: core(*a), mesh,
+                         (P(axis),) * 6, (P(axis),) * 5)
+    return jax.jit(smapped)
+
+
+def make_decode_phase_b(mesh: Mesh, out_cap: int, axis: str = "d"):
+    """Sharded phase B: LZ77 reconstruction of independent segments
+    (pointer-doubling resolve + gather), segments sharded across the mesh,
+    compressed blob and dictionary replicated."""
+    from ..ops.inflate_tpu import _phase_b
+    core = _phase_b.__wrapped__
+
+    def shard_fn(kind, aux, olen, comp, dictv, dict_lens, wsize):
+        out, bad = jax.vmap(
+            lambda k, a, o, dl: core(k, a, o, comp, dictv, dl, wsize[0],
+                                     out_cap))(kind, aux, olen, dict_lens)
+        return out, bad
+
+    smapped = _shard_map(shard_fn, mesh,
+                         (P(axis), P(axis), P(axis), P(), P(), P(axis), P()),
+                         (P(axis), P(axis)))
+    return jax.jit(smapped)
+
+
+def decompress_segments_multichip(blob: bytes, start_bytes, mesh: Mesh,
+                                  axis: str = "d") -> list[bytes]:
+    """Sharded analog of ops/inflate_tpu.decompress_segments_tpu: decode
+    independent full-flush segments with phase A lanes and phase B segments
+    distributed over the mesh. Falls back to the single-device engine on
+    any anomaly (exact errors are its job)."""
+    from ..ops import inflate_tpu as IT
+
+    ndev = mesh.devices.size
+    pa = make_decode_phase_a(mesh, axis=axis)
+    pb_cache: dict[int, object] = {}
+
+    def phase_a_pad(lanes, lits, dists, starts, lm, dm):
+        B = lanes.shape[0]
+        Bp = -(-B // ndev) * ndev
+        if Bp != B:
+            pad = Bp - B
+
+            def padz(x):
+                return np.concatenate(
+                    [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            lanes, lits, dists = padz(lanes), padz(lits), padz(dists)
+            starts, lm, dm = padz(starts), padz(lm), padz(dm)
+        outs = pa(jnp.asarray(lanes), jnp.asarray(lits), jnp.asarray(dists),
+                  jnp.asarray(starts), jnp.asarray(lm), jnp.asarray(dm))
+        return tuple(np.asarray(o)[:B] for o in outs)
+
+    def phase_b_batched(kinds, auxs, olens, comp_j, dictv_j, dict_lens,
+                        wsize, out_cap):
+        S = kinds.shape[0]
+        Sp = -(-S // ndev) * ndev
+        if Sp != S:
+            pad = Sp - S
+            kinds = np.concatenate([kinds, np.zeros((pad,) + kinds.shape[1:],
+                                                    kinds.dtype)])
+            auxs = np.concatenate([auxs, np.zeros_like(kinds[:pad])])
+            olens = np.concatenate([olens, np.zeros_like(kinds[:pad])])
+            dict_lens = np.concatenate([dict_lens,
+                                        np.zeros(pad, dict_lens.dtype)])
+        if out_cap not in pb_cache:
+            pb_cache[out_cap] = make_decode_phase_b(mesh, out_cap, axis=axis)
+        out, bad = pb_cache[out_cap](
+            jnp.asarray(kinds), jnp.asarray(auxs), jnp.asarray(olens),
+            comp_j, dictv_j, jnp.asarray(dict_lens),
+            jnp.full(1, wsize, jnp.int32))
+        return np.asarray(out)[:S], np.asarray(bad)[:S]
+
+    try:
+        return IT._decode_segments_engine(
+            bytes(blob), [(8 * s, 8 * e if e is not None else None)
+                          for s, e in _seg_bounds(start_bytes, len(blob))],
+            None, 1 << 15, phase_a_pad, phase_b_batched)
+    except (IT._Fallback, Exception):
+        return IT.decompress_segments_tpu(bytes(blob), start_bytes)
+
+
+def _seg_bounds(start_bytes, blob_len):
+    starts = list(start_bytes)
+    out = []
+    for i, s in enumerate(starts):
+        end = starts[i + 1] if i + 1 < len(starts) else None
+        out.append((s, end))
+    return out
