@@ -59,14 +59,21 @@ def test_multichip_adler_exact(mesh, corpus):
 
 
 def test_sharded_segment_decode(mesh, corpus):
+    from zlibng_tpu.ops import inflate_tpu as IT
     segs = [corpus[i:i + 16384] for i in range(0, len(corpus), 16384)]
     blob = b""
     starts = []
     for s in segs:
         starts.append(len(blob))
         blob += compress_host(s, level=6, wbits=-15)
+    mesh_before = IT.stats["mesh_ok"]
+    fb_before = IT.stats["fallback"]
     outs = decompress_segments_multichip(blob, starts, mesh)
     assert b"".join(outs) == corpus
     assert len(outs) == len(segs)
     for o, s in zip(outs, segs):
         assert o == s
+    # the mesh phase A/B path must have actually executed — a fallback to
+    # the single-device engine (round-2 weak #1) is a FAILURE, not a pass
+    assert IT.stats["mesh_ok"] == mesh_before + 1, "mesh decode fell back"
+    assert IT.stats["fallback"] == fb_before

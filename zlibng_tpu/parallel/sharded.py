@@ -31,6 +31,7 @@ try:
 except Exception:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
+from ..errors import DataError as InflateError
 from ..format.constants import (
     ADLER_BASE, FIXED_DIST_CODES_REV, FIXED_DIST_LENGTHS, FIXED_LIT_CODES_REV,
     FIXED_LIT_LENGTHS,
@@ -447,12 +448,26 @@ def decompress_segments_multichip(blob: bytes, start_bytes, mesh: Mesh,
             jnp.full(1, wsize, jnp.int32))
         return np.asarray(out)[:S], np.asarray(bad)[:S]
 
+    ran = {"a": False, "b": False}
+
+    def phase_a_traced(*a):
+        ran["a"] = True
+        return phase_a_pad(*a)
+
+    def phase_b_traced(*a):
+        ran["b"] = True
+        return phase_b_batched(*a)
+
     try:
-        return IT._decode_segments_engine(
+        outs, _ = IT._decode_segments(
             bytes(blob), [(8 * s, 8 * e if e is not None else None)
                           for s, e in _seg_bounds(start_bytes, len(blob))],
-            None, 1 << 15, phase_a_pad, phase_b_batched)
-    except (IT._Fallback, Exception):
+            None, 1 << 15, phase_a_traced, phase_b_traced)
+        if ran["a"] and ran["b"]:
+            IT.stats["mesh_ok"] += 1
+        return outs
+    except (IT._Fallback, InflateError):
+        IT.stats["fallback"] += 1
         return IT.decompress_segments_tpu(bytes(blob), start_bytes)
 
 
