@@ -63,6 +63,7 @@ def main():
 
     # decode path: zlib-compressed corpus through the TPU batch decoder
     dec_mbps = None
+    dec_error = None
     try:
         zc = zlib.compress(corpus, 6)
         out = decompress_tpu(zc)  # warm-up/compile
@@ -74,8 +75,8 @@ def main():
             dbest = max(dbest, n / (time.perf_counter() - t))
         assert out == corpus
         dec_mbps = round(dbest / 1e6, 2)
-    except Exception:
-        pass
+    except Exception as e:  # recorded, never silent (round-2 weak #3)
+        dec_error = f"{type(e).__name__}: {e}"
 
     # regression guard: the device batch decoder must handle a plain zlib
     # stream itself (no serial fallback) — catches table-layout drift
@@ -102,8 +103,8 @@ def main():
             assert zlib.decompress(cl) == corpus
             lvl_extra[str(lvl)] = {"compress_MBps": round(n / dt / 1e6, 2),
                                    "size": len(cl)}
-        except Exception:
-            pass
+        except Exception as e:  # recorded, never silent (round-2 weak #3)
+            lvl_extra[str(lvl)] = {"error": f"{type(e).__name__}: {e}"}
 
     baseline_mbps = None
     baseline_size = None
@@ -153,8 +154,16 @@ def main():
             "baseline_zlibng_l6_size": baseline_size,
             "size_vs_zlibng": round(size / baseline_size, 4) if baseline_size else None,
             "decompress_MBps": dec_mbps,
+            "decompress_error": dec_error,
             "levels": lvl_extra,
             "device_elementwise_Gops": device_gops,
+            # normalized cost: device elementwise Gops available per codec
+            # MB — lower is better; stable under tunnel-rate variance, so
+            # round-over-round kernel progress is visible even when the
+            # absolute MB/s moves with the tunnel (round-2 weak #2)
+            "device_ops_per_byte": (
+                round(device_gops * 1e3 / value, 1)
+                if device_gops and value else None),
             "note": "device via axon tunnel sustains ~2% of v5e VPU spec "
                     "(measured); codec throughput scales with device rate",
         },

@@ -56,14 +56,16 @@ U32 = jnp.uint32
 # ---------------------------------------------------------------------------
 # jitted stages
 # ---------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("chain", "lazy", "max_lazy", "nice"))
-def _stage1(lanes, enc_ends, hist_valids, chain, lazy, max_lazy, nice=258):
+@functools.partial(jax.jit, static_argnames=("chain", "lazy", "max_lazy",
+                                              "nice", "strategy"))
+def _stage1(lanes, enc_ends, hist_valids, chain, lazy, max_lazy, nice=258,
+            strategy=0):
     from .lz77_jax import finalize_tokens, unit_freqs
     from .parse_pallas import parse_select
 
     def one(lane, ee, hv):
         return lz77_lane(lane, jnp.int32(LANE_HIST), ee, hv, chain, lazy,
-                         max_lazy, nice, unit=UNIT)
+                         max_lazy, nice, unit=UNIT, strategy=strategy)
 
     core = jax.vmap(one)(lanes, enc_ends, hist_valids)
     B = lanes.shape[0]
@@ -287,7 +289,8 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
         lanes_d = jnp.asarray(lanes)
         outs, lfreqs_d, dfreqs_d = _stage1(
             lanes_d, jnp.asarray(enc_ends), jnp.asarray(hist_valids),
-            lc.chain, lc.lazy, lc.max_lazy, lc.nice)
+            lc.chain, lc.lazy, lc.max_lazy, lc.nice,
+            strategy if strategy in (1, 2, 3) else 0)
         return dict(g0=g0, g1=g1, B=B, Bpad=Bpad, lanes_d=lanes_d,
                     outs=outs, lfreqs_d=lfreqs_d, dfreqs_d=dfreqs_d,
                     enc_ends=enc_ends)

@@ -116,12 +116,24 @@ def dist_extra_arith(dist: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 # ---------------------------------------------------------------------------
 def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
               hist_valid_from: jnp.ndarray, chain: int, lazy: bool,
-              max_lazy: int, nice: int = 258, unit: int = 0) -> dict:
+              max_lazy: int, nice: int = 258, unit: int = 0,
+              strategy: int = 0) -> dict:
     """data: (LANE,) uint8. enc_start/enc_end/hist_valid_from: () int32.
     unit > 0 caps matches at `unit`-byte boundaries past enc_start so the
     encoder can emit any unit as an independent block (stored/tree choice
     per unit) with no token crossing into it. Returns per-position token
-    info dict (fixed shapes)."""
+    info dict (fixed shapes).
+
+    strategy (static) carries the reference's dispatch-by-strategy semantics
+    (deflate.c:1036-1043): Z_HUFFMAN_ONLY (2) emits literals only (no
+    matching at all, deflate_huff.c); Z_RLE (3) restricts matching to the
+    distance-1 run prepass (deflate_rle.c); Z_FILTERED (1) drops matches
+    shorter than 6 (deflate.c match_length <= 5 filter)."""
+    Z_FILTERED_, Z_HUFFMAN_ONLY_, Z_RLE_ = 1, 2, 3
+    use_probes = strategy not in (Z_HUFFMAN_ONLY_, Z_RLE_)
+    use_runs = strategy != Z_HUFFMAN_ONLY_
+    min_keep = 6 if strategy == Z_FILTERED_ else MIN_MATCH
+
     N = data.shape[0]
     pos = jnp.arange(N, dtype=I32)
     # columns needed for extension: 4 bytes per column, +1 column of slack
@@ -129,52 +141,62 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
     CX = (n_ext + 3) // 4 + 1
     pad = jnp.concatenate([data, jnp.zeros(4 * CX + 12, jnp.uint8)])
     w4 = _build_w4(pad)                      # (N + 4*CX + 9,)
-    h = _hash4(data)
 
-    # ---- candidates via one stable sort --------------------------------
-    # TPU design: all candidate comparisons happen between entries ADJACENT
-    # in (hash, pos) sorted order, so they are array *shifts*, not gathers.
-    # Only three gathers remain: the sorted 8-byte probe rows, the winner
-    # map-back through the inverse permutation, and the winner extension
-    # rows — each a wide contiguous row gather.
-    order = jnp.argsort(h, stable=True).astype(I32)     # (N,)
-    inv = jnp.argsort(order).astype(I32)                # inverse permutation
-    h_sorted = h[order]
-    # probe rows (PROBE_WORDS u32 words each) — longer probes break winner
-    # ties that chain-order heuristics get wrong (measured: ≈2% ratio for
-    # 16B vs 4B)
-    W = PROBE_WORDS
-    w2 = jnp.stack([w4[4 * i: N + 4 * i] for i in range(W)], axis=1)
-    w2_s = w2[order]                                    # row gather
+    if use_probes:
+        h = _hash4(data)
 
-    NEG = jnp.int32(-(1 << 30))
-    best_score = jnp.full(N, NEG, I32)
-    best_cand_s = jnp.zeros(N, I32)
-    pos_s = order
-    for k in probe_offsets(chain):
-        cand = jnp.concatenate([jnp.zeros(k, I32), pos_s[:-k]])
-        same = jnp.concatenate([jnp.zeros(k, bool), h_sorted[k:] == h_sorted[:-k]])
-        zk = jnp.zeros((k, W), U32)
-        x = w2_s ^ jnp.concatenate([zk, w2_s[:-k]], axis=0)  # (N, W)
-        l16 = _ctz_bytes32(x[:, W - 1])
-        for w in range(W - 2, -1, -1):
-            l16 = jnp.where(x[:, w] != 0, _ctz_bytes32(x[:, w]), 4 + l16)
-        dist = pos_s - cand
-        ok = same & (cand >= hist_valid_from) & (dist <= WINDOW_SIZE) & (dist > 0)
-        score = jnp.where(ok, (l16 << 20) - dist, NEG)
-        better = score > best_score
-        best_score = jnp.where(better, score, best_score)
-        best_cand_s = jnp.where(better, cand, best_cand_s)
-    # pack (valid, l16, cand) and map back to position order with ONE gather
-    # (cand < LANE < 2^17, l16 <= 16 -> 5 bits; sentinel -1 = no candidate)
-    valid_s = best_score > NEG
-    l16_s = (best_score + (pos_s - best_cand_s)) >> 20   # recover probe length
-    packed_s = jnp.where(valid_s, (l16_s << 17) | best_cand_s, jnp.int32(-1))
-    packed = packed_s[inv]                               # (N,) point gather
-    has_cand = packed >= 0
-    best_cand = jnp.where(has_cand, packed & 0x1FFFF, 0)
-    l16 = jnp.where(has_cand, packed >> 17, 0)
-    best_dist = jnp.where(has_cand, pos - best_cand, 0)
+        # ---- candidates via one stable sort ----------------------------
+        # TPU design: all candidate comparisons happen between entries
+        # ADJACENT in (hash, pos) sorted order, so they are array *shifts*,
+        # not gathers. Only three gathers remain: the sorted 8-byte probe
+        # rows, the winner map-back through the inverse permutation, and
+        # the winner extension rows — each a wide contiguous row gather.
+        order = jnp.argsort(h, stable=True).astype(I32)     # (N,)
+        inv = jnp.argsort(order).astype(I32)                # inverse perm
+        h_sorted = h[order]
+        # probe rows (PROBE_WORDS u32 words each) — longer probes break
+        # winner ties that chain-order heuristics get wrong (measured:
+        # ≈2% ratio for 16B vs 4B)
+        W = PROBE_WORDS
+        w2 = jnp.stack([w4[4 * i: N + 4 * i] for i in range(W)], axis=1)
+        w2_s = w2[order]                                    # row gather
+
+        NEG = jnp.int32(-(1 << 30))
+        best_score = jnp.full(N, NEG, I32)
+        best_cand_s = jnp.zeros(N, I32)
+        pos_s = order
+        for k in probe_offsets(chain):
+            cand = jnp.concatenate([jnp.zeros(k, I32), pos_s[:-k]])
+            same = jnp.concatenate([jnp.zeros(k, bool),
+                                    h_sorted[k:] == h_sorted[:-k]])
+            zk = jnp.zeros((k, W), U32)
+            x = w2_s ^ jnp.concatenate([zk, w2_s[:-k]], axis=0)  # (N, W)
+            l16 = _ctz_bytes32(x[:, W - 1])
+            for w in range(W - 2, -1, -1):
+                l16 = jnp.where(x[:, w] != 0, _ctz_bytes32(x[:, w]), 4 + l16)
+            dist = pos_s - cand
+            ok = same & (cand >= hist_valid_from) & (dist <= WINDOW_SIZE) \
+                & (dist > 0)
+            score = jnp.where(ok, (l16 << 20) - dist, NEG)
+            better = score > best_score
+            best_score = jnp.where(better, score, best_score)
+            best_cand_s = jnp.where(better, cand, best_cand_s)
+        # pack (valid, l16, cand), map back to position order with ONE
+        # gather (cand < LANE < 2^17, l16 <= 16 -> 5 bits; -1 = none)
+        valid_s = best_score > NEG
+        l16_s = (best_score + (pos_s - best_cand_s)) >> 20   # probe length
+        packed_s = jnp.where(valid_s, (l16_s << 17) | best_cand_s,
+                             jnp.int32(-1))
+        packed = packed_s[inv]                               # point gather
+        has_cand = packed >= 0
+        best_cand = jnp.where(has_cand, packed & 0x1FFFF, 0)
+        l16 = jnp.where(has_cand, packed >> 17, 0)
+        best_dist = jnp.where(has_cand, pos - best_cand, 0)
+    else:
+        has_cand = jnp.zeros(N, bool)
+        best_cand = jnp.zeros(N, I32)
+        l16 = jnp.zeros(N, I32)
+        best_dist = jnp.zeros(N, I32)
 
     # ---- extension: two-phase narrow/wide (compare256 analog) ----------
     # The 16-byte probe already yields the EXACT match length whenever the
@@ -224,22 +246,24 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
 
     # dist-1 run prepass (exact long runs; the probe truncates them at the
     # extension cap): distance-to-next-inequality via reversed cummin
-    eq = jnp.concatenate([data[1:] == data[:-1], jnp.zeros(1, bool)])
-    falses = jnp.where(~eq, pos, N)
-    next_false = jax.lax.cummin(falses[::-1])[::-1]
-    run_pairs = next_false - pos
-    prev_eq = jnp.concatenate([jnp.zeros(1, bool), eq[:-1]])
-    run_ok = prev_eq & (pos - 1 >= hist_valid_from)
-    run_len = jnp.where(run_ok, 1 + run_pairs, 0)
-    run_len = jnp.minimum(jnp.minimum(run_len, MAX_MATCH), cap).astype(I32)
-    use_run = run_len > blen
-    blen = jnp.where(use_run, run_len, blen)
-    best_dist = jnp.where(use_run, 1, best_dist)
+    if use_runs:
+        eq = jnp.concatenate([data[1:] == data[:-1], jnp.zeros(1, bool)])
+        falses = jnp.where(~eq, pos, N)
+        next_false = jax.lax.cummin(falses[::-1])[::-1]
+        run_pairs = next_false - pos
+        prev_eq = jnp.concatenate([jnp.zeros(1, bool), eq[:-1]])
+        run_ok = prev_eq & (pos - 1 >= hist_valid_from)
+        run_len = jnp.where(run_ok, 1 + run_pairs, 0)
+        run_len = jnp.minimum(jnp.minimum(run_len, MAX_MATCH),
+                              cap).astype(I32)
+        use_run = run_len > blen
+        blen = jnp.where(use_run, run_len, blen)
+        best_dist = jnp.where(use_run, 1, best_dist)
 
     # ---- minimum / too-far filters -------------------------------------
     # (exact cost-based match demotion happens later, in stage 2, once the
     # block's real Huffman tables exist — ops/deflate_tpu.py)
-    ok = (blen >= MIN_MATCH) & ~((blen == MIN_MATCH) & (best_dist > TOO_FAR))
+    ok = (blen >= min_keep) & ~((blen == MIN_MATCH) & (best_dist > TOO_FAR))
     blen = jnp.where(ok, blen, 0)
     best_dist = jnp.where(ok, best_dist, 0)
 
