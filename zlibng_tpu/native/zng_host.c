@@ -518,13 +518,24 @@ long zng_decode_huff(const uint8_t *data, long nbytes, long *bitpos_io,
  * table is <= 2^10 entries = 4 KiB, so it stays L1-resident, where the
  * 15-bit flat LUT (128 KiB) thrashes L2 on every symbol.
  *
- * Table entry format (int32, shares the direct encoding of the flat LUT):
- *   ent >= 0        direct:  sym << 4 | code_len
- *   ent == -16      invalid peek
- *   ent <= -32      sub-pointer: s = -ent - 32; sub table at
- *                   tbl[(1<<root) + (s>>4)], indexed by the next (s&15)
- *                   bits; sub entries are direct (len = full code length)
- *                   or -16.
+ * Table entry format (int32). Valid entries are "decode-ready": length and
+ * distance base/extra live inside the entry (the reference's code
+ * {op,bits,val} triple, inftrees.h:14-39, flattened), so the hot loop
+ * never touches the LB/LE/DB/DE side tables and never range-checks syms:
+ *   lit/len table, ent >= 0:
+ *     [0:4]  code length (bits to consume)
+ *     [4:6]  kind: 0 literal, 1 end-of-block, 2 length, 3 invalid sym
+ *     [6:14] literal byte (kind 0) or match-length base - 3 (kind 2)
+ *     [14:18] length extra bits (kind 2)
+ *   dist table, ent >= 0:
+ *     [0:4]  code length
+ *     [4:19] distance base - 1
+ *     [19:23] distance extra bits (15 = invalid symbol 30/31)
+ *   either table, ent < 0:
+ *     ent == -16      invalid peek
+ *     ent <= -32      sub-pointer: s = -ent - 32; sub table at
+ *                     tbl[(1<<root) + (s>>4)], indexed by the next (s&15)
+ *                     bits; sub entries are direct or -16.
  * ====================================================================== */
 
 static uint32_t zng_bitrev(uint32_t c, int l) {
@@ -533,12 +544,30 @@ static uint32_t zng_bitrev(uint32_t c, int l) {
     return r;
 }
 
+/* Decode-ready entry for symbol s with code length l (layouts above). */
+static inline int32_t zng_tbl2_ent(long s, int l, int is_dist) {
+    if (is_dist) {
+        if (s > 29)
+            return (int32_t)(l | (15 << 19));
+        return (int32_t)(l | (long)(DB[s] - 1) << 4 | (long)DE[s] << 19);
+    }
+    if (s < 256)
+        return (int32_t)(l | (s << 6));
+    if (s == 256)
+        return (int32_t)(l | (1 << 4));
+    if (s <= 285)
+        return (int32_t)(l | (2 << 4) | (long)(LB[s - 257] - 3) << 6
+                         | (long)LE[s - 257] << 14);
+    return (int32_t)(l | (3 << 4));
+}
+
 /* Build a two-level table. root_req <= 10. Returns entries used, or -1 if
  * tbl_cap would overflow (cannot happen for Kraft-valid code sets with the
  * caller's caps; checked anyway so hostile inputs cannot scribble).
  * Writes the actual root width (shrunk to maxlen) to *root_io. */
 static long zng_build_tbl2(const int32_t *lengths, long nsyms, int root_req,
-                           int32_t *tbl, long tbl_cap, int *root_io) {
+                           int32_t *tbl, long tbl_cap, int *root_io,
+                           int is_dist) {
     long bl[16] = {0};
     int maxlen = 0;
     long nused = 0;
@@ -550,7 +579,7 @@ static long zng_build_tbl2(const int32_t *lengths, long nsyms, int root_req,
             if (l > maxlen) maxlen = l;
         }
     }
-    int root = root_req > 10 ? 10 : root_req;
+    int root = root_req > 12 ? 12 : root_req;
     if (maxlen > 0 && maxlen < root) root = maxlen;
     long rsize = 1L << root;
     if (rsize > tbl_cap) return -1;
@@ -565,8 +594,8 @@ static long zng_build_tbl2(const int32_t *lengths, long nsyms, int root_req,
         next_code[b] = code;
     }
     long used = rsize;
-    int8_t need[1 << 10];
-    int32_t sub_base[1 << 10];
+    int8_t need[1 << 12];
+    int32_t sub_base[1 << 12];
     if (maxlen > root) {
         memset(need, 0, (size_t)rsize);
         uint32_t nc2[16];
@@ -595,7 +624,7 @@ static long zng_build_tbl2(const int32_t *lengths, long nsyms, int root_req,
         int l = lengths[s];
         if (l <= 0) continue;
         uint32_t c = next_code[l]++;
-        int32_t ent = (int32_t)((s << 4) | l);
+        int32_t ent = zng_tbl2_ent(s, l, is_dist);
         if (l <= root) {
             long stride = 1L << l;
             for (long idx = (long)zng_bitrev(c, l); idx < rsize; idx += stride)
@@ -627,8 +656,8 @@ static void zng_fix_init(void) {
     for (int i = 280; i < 288; i++) ll[i] = 8;
     for (int i = 0; i < 32; i++) dl[i] = 5;
     int dr;
-    zng_build_tbl2(ll, 288, 10, FIX_LIT_TBL, 1 << 10, &fix_lit_root);
-    zng_build_tbl2(dl, 32, 10, FIX_DIST_TBL, 1 << 6, &dr);
+    zng_build_tbl2(ll, 288, 10, FIX_LIT_TBL, 1 << 10, &fix_lit_root, 0);
+    zng_build_tbl2(dl, 32, 10, FIX_DIST_TBL, 1 << 6, &dr, 1);
     fix_dist_root = dr;
 }
 
@@ -655,87 +684,125 @@ static long zng_decode_huff2(const uint8_t *data, long nbytes,
     const long total_bits = nbytes * 8;
     long ret;
 
-    /* Fast loop (inffast_tpl.h:53-298 analog): 56-bit hold covers a whole
-     * match or up to three literals; copies may overshoot by up to 7 bytes
-     * (the 266-byte slack guard covers 258 + 8). Anything delicate (EOB,
-     * errors, buffer edges) falls to the careful loop below. */
-    while (total_bits - bp >= 64 && olen + 266 <= out_cap) {
-        uint64_t hold;
-        memcpy(&hold, data + (bp >> 3), 8);
-        hold >>= (bp & 7);
-        int32_t ent = tbl2_look(lt, lroot, hold);
-        if (ent < 0) break;
-        long nb = ent & 15;
-        long sym = ent >> 4;
-        hold >>= nb;
-        long used = nb;
-        if (sym < 256) {
-            out[olen++] = (uint8_t)sym;
-            ncodes++;
-            ent = tbl2_look(lt, lroot, hold);
-            if (ent >= 0 && (ent >> 4) < 256) {
-                out[olen++] = (uint8_t)(ent >> 4);
-                ncodes++;
-                nb = ent & 15;
-                hold >>= nb;
-                used += nb;
-                ent = tbl2_look(lt, lroot, hold);
-                if (ent >= 0 && (ent >> 4) < 256) {
-                    out[olen++] = (uint8_t)(ent >> 4);
+    /* Fast loop (inffast_tpl.h:53-298 analog): persistent 56-bit hold
+     * with a branchless top-up per symbol (the 64-bit REFILL trick,
+     * inffast_tpl.h:142-147); copies may overshoot by up to 31 bytes (the
+     * 290-byte slack guard covers 258 + 32). Errors and buffer edges fall
+     * to the careful loop below; EOB completes here directly. */
+    {
+        const uint8_t *in = data + (bp >> 3);
+        const uint8_t *inend = data + nbytes - 8;  /* last safe 8B load */
+        if (in <= inend) {
+            uint64_t hold;
+            memcpy(&hold, in, 8);
+            hold >>= (bp & 7);
+            long bits = 56 - (bp & 7);
+            hold &= (1ULL << bits) - 1;
+            in += 7;
+            for (;;) {
+                if (in > inend || olen + 290 > out_cap) break;
+                uint64_t chunk;                     /* top-up to >= 56 */
+                memcpy(&chunk, in, 8);
+                hold |= chunk << bits;
+                in += (63 - bits) >> 3;
+                bits |= 56;
+
+                int32_t ent = tbl2_look(lt, lroot, hold);
+                if (ent < 0) break;
+                long nb = ent & 15;
+                long kind = ent & 0x30;
+                if (kind == 0) {
+                    /* literal batch: emit while 15 valid bits remain */
+                    hold >>= nb;
+                    bits -= nb;
+                    out[olen++] = (uint8_t)(ent >> 6);
                     ncodes++;
-                    used += ent & 15;
+                    while (bits >= 15) {
+                        ent = tbl2_look(lt, lroot, hold);
+                        if (ent < 0 || (ent & 0x30) != 0) break;
+                        out[olen++] = (uint8_t)(ent >> 6);
+                        ncodes++;
+                        hold >>= (ent & 15);
+                        bits -= ent & 15;
+                    }
+                    continue;
                 }
-            }
-            bp += used;
-            continue;
-        }
-        if (sym > 256 && sym <= 285) {
-            long i = sym - 257;
-            long e = LE[i];
-            long length = LB[i] + (long)(hold & ((1u << e) - 1));
-            hold >>= e;
-            used += e;
-            int32_t dent = tbl2_look(dt, droot, hold);
-            long dsym = dent >> 4;
-            if (dent < 0 || dsym > 29) break;
-            long dnb = dent & 15;
-            hold >>= dnb;
-            used += dnb;
-            e = DE[dsym];
-            long dist = DB[dsym] + (long)(hold & ((1u << e) - 1));
-            used += e;
-            if (dist > olen || dist > wsize) break;
-            bp += used;
-            ncodes++;
-            uint8_t *dst = out + olen;
-            const uint8_t *src = dst - dist;
-            olen += length;
-            if (dist >= 8) {
-                /* 8-byte stepped copy, overlap-tolerant for dist >= 8
-                 * (chunkset_tpl.h CHUNKCOPY semantics) */
-                do {
-                    memcpy(dst, src, 8);
-                    dst += 8;
-                    src += 8;
-                    length -= 8;
-                } while (length > 0);
-            } else if (dist >= length) {
-                memcpy(dst, src, (size_t)length);
-            } else {
-                /* short period: seed one period, then double
-                 * (CHUNKMEMSET pattern-broadcast analog) */
-                for (long k = 0; k < dist; k++) dst[k] = src[k];
-                long copied = dist;
-                while (copied < length) {
-                    long c = copied < length - copied ? copied
-                                                      : length - copied;
-                    memcpy(dst + copied, dst, (size_t)c);
-                    copied += c;
+                if (kind == 0x20) {    /* length: base+extra in the entry */
+                    uint64_t hold0 = hold;
+                    long bits0 = bits;
+                    hold >>= nb;
+                    bits -= nb;
+                    long e = (ent >> 14) & 15;
+                    long length = 3 + ((ent >> 6) & 255)
+                                  + (long)(hold & ((1u << e) - 1));
+                    hold >>= e;
+                    bits -= e;
+                    int32_t dent = tbl2_look(dt, droot, hold);
+                    long de = (dent >> 19) & 15;
+                    if (dent < 0 || de == 15) {
+                        hold = hold0;
+                        bits = bits0;
+                        break;
+                    }
+                    long dnb = dent & 15;
+                    hold >>= dnb;
+                    bits -= dnb;
+                    long dist = 1 + ((dent >> 4) & 0x7FFF)
+                                + (long)(hold & ((1u << de) - 1));
+                    hold >>= de;
+                    bits -= de;
+                    if (dist > olen || dist > wsize) {
+                        hold = hold0;
+                        bits = bits0;
+                        break;
+                    }
+                    ncodes++;
+                    uint8_t *dst = out + olen;
+                    const uint8_t *src = dst - dist;
+                    olen += length;
+                    if (dist >= 32) {
+                        /* 32-byte stepped copy (chunkset_tpl.h CHUNKCOPY
+                         * at AVX2 width); overlap-tolerant, dist >= chunk */
+                        do {
+                            memcpy(dst, src, 32);
+                            dst += 32;
+                            src += 32;
+                            length -= 32;
+                        } while (length > 0);
+                    } else if (dist >= length) {
+                        memcpy(dst, src, (size_t)length);
+                    } else if (dist >= 8) {
+                        do {
+                            memcpy(dst, src, 8);
+                            dst += 8;
+                            src += 8;
+                            length -= 8;
+                        } while (length > 0);
+                    } else {
+                        /* short period: seed one period, then double
+                         * (CHUNKMEMSET pattern-broadcast analog) */
+                        for (long k = 0; k < dist; k++) dst[k] = src[k];
+                        long copied = dist;
+                        while (copied < length) {
+                            long c = copied < length - copied
+                                         ? copied : length - copied;
+                            memcpy(dst + copied, dst, (size_t)c);
+                            copied += c;
+                        }
+                    }
+                    continue;
                 }
+                if (kind == 0x10) {    /* EOB inside the fast loop */
+                    bits -= nb;
+                    *bitpos_io = (in - data) * 8 - bits;
+                    *out_len_io = olen;
+                    *ncodes_io += ncodes + 1;
+                    return 0;
+                }
+                break;  /* invalid: careful loop re-decodes exactly */
             }
-            continue;
+            bp = (in - data) * 8 - bits;
         }
-        break; /* EOB or invalid: careful loop re-decodes */
     }
 
     /* Careful tail loop: exact need-input rollbacks at symbol granularity */
@@ -759,7 +826,7 @@ static long zng_decode_huff2(const uint8_t *data, long nbytes,
             break;
         }
         long nb = ent & 15;
-        long sym = ent >> 4;
+        long kind = ent & 0x30;
         bp += nb;
         if (bp > total_bits) {
             if (finish) { ret = -5; break; }
@@ -768,25 +835,24 @@ static long zng_decode_huff2(const uint8_t *data, long nbytes,
             break;
         }
         ncodes++;
-        if (sym < 256) {
+        if (kind == 0) {
             if (olen >= out_cap) { bp -= nb; ncodes--; ret = 2; break; }
-            out[olen++] = (uint8_t)sym;
+            out[olen++] = (uint8_t)(ent >> 6);
             continue;
         }
-        if (sym == 256) { ret = 0; break; }
-        if (sym > 285) { ret = -2; break; }
+        if (kind == 0x10) { ret = 0; break; }
+        if (kind == 0x30) { ret = -2; break; }
         hold >>= nb;
         long used = nb;
-        long i = sym - 257;
-        long e = LE[i];
-        long length = LB[i] + (long)(hold & ((1u << e) - 1));
+        long e = (ent >> 14) & 15;
+        long length = 3 + ((ent >> 6) & 255) + (long)(hold & ((1u << e) - 1));
         hold >>= e;
         used += e;
         bp += e;
 
         int32_t dent = tbl2_look(dt, droot, hold);
-        long dsym = dent >> 4;
-        if (dent < 0 || dsym > 29) {
+        long de = (dent >> 19) & 15;
+        if (dent < 0 || de == 15) {
             if (bp + 15 > total_bits && !finish) {
                 bp -= used;
                 ncodes--;
@@ -800,10 +866,10 @@ static long zng_decode_huff2(const uint8_t *data, long nbytes,
         hold >>= dnb;
         used += dnb;
         bp += dnb;
-        e = DE[dsym];
-        long dist = DB[dsym] + (long)(hold & ((1u << e) - 1));
-        used += e;
-        bp += e;
+        long dist = 1 + ((dent >> 4) & 0x7FFF)
+                    + (long)(hold & ((1u << de) - 1));
+        used += de;
+        bp += de;
         if (bp > total_bits) {
             if (finish) { ret = -5; break; }
             bp -= used;
@@ -897,9 +963,10 @@ long zng_inflate_stream(const uint8_t *data, long nbytes, long *bitpos_io,
             if (r == 1) { bp = save; ret = finish ? -5 : 1; break; }
             if (r < 0) { ret = r; break; }
             int lr, dr;
-            if (zng_build_tbl2(lengths, hlit, 10, lit_tbl, lit_cap, &lr) < 0
+            if (zng_build_tbl2(lengths, hlit, 11, lit_tbl, lit_cap,
+                               &lr, 0) < 0
                 || zng_build_tbl2(lengths + hlit, hdist, 10, dist_tbl,
-                                  dist_cap, &dr) < 0) {
+                                  dist_cap, &dr, 1) < 0) {
                 bp = save; /* caller retries this block on the flat path */
                 ret = -13;
                 break;

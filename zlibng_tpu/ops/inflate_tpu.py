@@ -482,8 +482,10 @@ stats = {"device_ok": 0, "fallback": 0, "host_routed": 0, "mesh_ok": 0}
 
 
 def inflate_raw_tpu(data: bytes, wbits: int = 15,
-                    dictionary: bytes | None = None, engine: str = "auto"):
-    """One-shot raw inflate. Returns (out, bits_consumed).
+                    dictionary: bytes | None = None, engine: str = "auto",
+                    start: int = 0):
+    """One-shot raw inflate of data[start:]. Returns (out, bits_consumed
+    past start).
 
     engine: "auto" routes large unindexed streams to the native host hot
     loop and keeps small ones on the device batch path; "device"/"host"
@@ -491,10 +493,14 @@ def inflate_raw_tpu(data: bytes, wbits: int = 15,
     anomaly so errors and messages are always format-exact (inflate.c
     error strings)."""
     data = bytes(data)
-    if engine == "host" or (engine == "auto" and len(data) > _DEVICE_SINGLE_MAX):
+    if engine == "host" or (engine == "auto"
+                            and len(data) - start > _DEVICE_SINGLE_MAX):
         from ..stream.inflate_serial import inflate_raw
         stats["host_routed"] += 1
-        return inflate_raw(data, wbits=wbits, dictionary=dictionary)
+        return inflate_raw(data, wbits=wbits, dictionary=dictionary,
+                           start=start)
+    if start:
+        data = data[start:]
     try:
         outs, ends = _decode_segments(data, [(0, None)], dictionary,
                                       1 << wbits)
@@ -530,8 +536,8 @@ def decompress_tpu(data: bytes, wbits: int = 15,
 
     if wbits >= 16:
         _, pos = H.parse_gzip_header(data)
-        out, bits = inflate_raw_tpu(data[pos:], wbits=(wbits - 16) or 15,
-                                    engine=engine)
+        out, bits = inflate_raw_tpu(data, wbits=(wbits - 16) or 15,
+                                    engine=engine, start=pos)
         pos += (bits + 7) // 8
         if len(data) < pos + 8:
             raise InflateError("unexpected end of stream")
@@ -548,9 +554,9 @@ def decompress_tpu(data: bytes, wbits: int = 15,
             raise InflateError("preset dictionary needed")
         if adler32(dictionary) != dictid:
             raise InflateError("incorrect dictionary")
-    out, bits = inflate_raw_tpu(data[pos:], wbits=max(hwbits, 8),
+    out, bits = inflate_raw_tpu(data, wbits=max(hwbits, 8),
                                 dictionary=dictionary if has_dict else None,
-                                engine=engine)
+                                engine=engine, start=pos)
     pos += (bits + 7) // 8
     if len(data) < pos + 4:
         raise InflateError("unexpected end of stream")

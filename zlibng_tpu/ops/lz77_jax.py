@@ -45,6 +45,19 @@ def probe_offsets(chain: int) -> tuple[int, ...]:
     return tuple(range(1, chain + 1))
 
 
+# Probe escalation split: the first DENSE_PROBES sorted-neighbor offsets run
+# densely over every row; deeper offsets run only for rows that are still
+# "hunting" (best probe < GOOD_L16 bytes), can emit tokens, and actually
+# have a deeper same-hash predecessor — compacted into fixed-size batches.
+# Measured hunting-and-deeper fractions after 4 dense probes: text ~0.50,
+# pdf ~0.05, jpg ~0.01, so the deep-probe cost tracks the data's match
+# density instead of paying chain-16/64 everywhere (the reference's
+# good_length chain-quartering economics, deflate.c:142-168, made batchwise).
+# Ratio cost measured on lcet10 at L6: +0.05% vs all-dense probes.
+DENSE_PROBES = 4
+GOOD_L16 = 12
+
+
 def _hash4(data: jnp.ndarray) -> jnp.ndarray:
     """(N,) uint8 -> (N,) int32 16-bit multiplicative hash of 4 bytes."""
     d = data.astype(U32)
@@ -165,7 +178,8 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
         best_score = jnp.full(N, NEG, I32)
         best_cand_s = jnp.zeros(N, I32)
         pos_s = order
-        for k in probe_offsets(chain):
+        dense = min(chain, DENSE_PROBES)
+        for k in probe_offsets(dense):
             cand = jnp.concatenate([jnp.zeros(k, I32), pos_s[:-k]])
             same = jnp.concatenate([jnp.zeros(k, bool),
                                     h_sorted[k:] == h_sorted[:-k]])
@@ -181,6 +195,64 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
             better = score > best_score
             best_score = jnp.where(better, score, best_score)
             best_cand_s = jnp.where(better, cand, best_cand_s)
+
+        if chain > dense:
+            # ---- compacted deep probes (k = dense+1 .. chain) ----------
+            # Same-hash runs are contiguous in sorted order, so a row has a
+            # (dense+1)-th same-hash predecessor iff h_sorted matches at
+            # shift dense+1. Rows that (a) still hunt, (b) can emit, and
+            # (c) have deeper candidates are compacted into M-row batches;
+            # each batch gathers its query/candidate probe rows once per k.
+            sidx = jnp.arange(N, dtype=I32)
+            kd = dense + 1
+            has_deeper = jnp.concatenate(
+                [jnp.zeros(kd, bool), h_sorted[kd:] == h_sorted[:-kd]])
+            cur_l16 = jnp.where(best_score > NEG,
+                                (best_score + (pos_s - best_cand_s)) >> 20, 0)
+            need = (has_deeper & (cur_l16 < GOOD_L16)
+                    & (pos_s >= enc_start) & (pos_s < enc_end))
+            rank = jnp.cumsum(need.astype(I32)) - 1
+            total = jnp.sum(need.astype(I32))
+            M = max(N // 8, 1024)
+
+            def deep_body(state):
+                i, bscore, bcand = state
+                lo = i * M
+                in_win = need & (rank >= lo) & (rank < lo + M)
+                slot = jnp.where(in_win, rank - lo, M)
+                idx = jnp.full(M, N - 1, I32).at[slot].set(sidx, mode="drop")
+                live = jnp.zeros(M, bool).at[slot].set(in_win, mode="drop")
+                qrow = w2_s[idx]                      # (M, W) row gather
+                qh = h_sorted[idx]
+                qpos = pos_s[idx]
+                bs = jnp.where(live, bscore[idx], jnp.int32(1 << 30))
+                bc = bcand[idx]
+                for k in range(dense + 1, chain + 1):
+                    cidx = jnp.maximum(idx - k, 0)
+                    crow = w2_s[cidx]                 # (M, W) row gather
+                    x = qrow ^ crow
+                    l16 = _ctz_bytes32(x[:, W - 1])
+                    for w in range(W - 2, -1, -1):
+                        l16 = jnp.where(x[:, w] != 0,
+                                        _ctz_bytes32(x[:, w]), 4 + l16)
+                    cpos = pos_s[cidx]
+                    dist = qpos - cpos
+                    ok = (qh == h_sorted[cidx]) & (cpos >= hist_valid_from) \
+                        & (dist <= WINDOW_SIZE) & (dist > 0) & (idx - k >= 0)
+                    score = jnp.where(ok, (l16 << 20) - dist, NEG)
+                    better = score > bs
+                    bs = jnp.where(better, score, bs)
+                    bc = jnp.where(better, cpos, bc)
+                bscore = bscore.at[idx].set(jnp.where(live, bs, bscore[idx]),
+                                            mode="drop")
+                bcand = bcand.at[idx].set(jnp.where(live, bc, bcand[idx]),
+                                          mode="drop")
+                return i + 1, bscore, bcand
+
+            _, best_score, best_cand_s = jax.lax.while_loop(
+                lambda st: st[0] * M < total, deep_body,
+                (jnp.int32(0), best_score, best_cand_s))
+
         # pack (valid, l16, cand), map back to position order with ONE
         # gather (cand < LANE < 2^17, l16 <= 16 -> 5 bits; -1 = none)
         valid_s = best_score > NEG

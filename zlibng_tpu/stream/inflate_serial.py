@@ -16,6 +16,8 @@ switch on `msg` behave identically.
 """
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 from ..format.constants import (
@@ -622,24 +624,43 @@ _STREAM_ERRMSG = {
 }
 
 
+_scratch = threading.local()
+
+
+def _scratch_bufs(out_need: int):
+    """Per-thread grow-only scratch buffers for the one-shot native decode:
+    reusing the output buffer avoids a ~16 MB first-touch page-fault storm
+    per call (the reference's single-arena allocation economics,
+    deflate.c:202-264, applied to the decode scratch)."""
+    lit = getattr(_scratch, "lit", None)
+    if lit is None:
+        _scratch.lit = np.empty(1 << 13, np.int32)
+        _scratch.dist = np.empty(1 << 13, np.int32)
+        _scratch.out = np.empty(1 << 20, np.uint8)
+    if _scratch.out.size < out_need:
+        grow = 1 << int(np.ceil(np.log2(out_need)))
+        _scratch.out = np.empty(grow, np.uint8)
+    return _scratch.lit, _scratch.dist, _scratch.out
+
+
 def _inflate_raw_native(lib, data: bytes, wbits: int,
-                        dictionary: bytes | None):
+                        dictionary: bytes | None, start: int = 0):
     """One-shot whole-stream decode straight into a numpy buffer (no
     bytearray window bookkeeping — the RawInflater state machine is only
-    needed for streaming/resumable callers). Returns (out, bits) or None
-    to defer to the RawInflater path (two-level table overflow)."""
+    needed for streaming/resumable callers). `start` skips that many
+    framing bytes without slicing the input. Returns (out, bits past
+    start) or None to defer to the RawInflater path (table overflow)."""
     import ctypes
 
     wsize = 1 << wbits
     dct = (dictionary or b"")[-wsize:]
     dlen = len(dct)
-    lit = np.empty(1 << 13, np.int32)
-    dist = np.empty(1 << 13, np.int32)
+    payload_len = len(data) - start
+    lit, dist, out = _scratch_bufs(max(4096, payload_len * 4 + dlen))
     st = np.zeros(8, np.int64)
     dptr = ctypes.cast(ctypes.c_char_p(data), ctypes.c_void_p)
-    bp = ctypes.c_long(0)
+    bp = ctypes.c_long(8 * start)
     nc = ctypes.c_long(0)
-    out = np.empty(max(4096, len(data) * 4 + dlen), np.uint8)
     if dlen:
         out[:dlen] = np.frombuffer(dct, np.uint8)
     ol = ctypes.c_long(dlen)
@@ -655,24 +676,26 @@ def _inflate_raw_native(lib, data: bytes, wbits: int,
             break
         bigger = np.empty(out.size * 2, np.uint8)
         bigger[:ol.value] = out[:ol.value]
-        out = bigger
+        out = _scratch.out = bigger
     if ret == 0:
-        return out[dlen:ol.value].tobytes(), bp.value
+        return out[dlen:ol.value].tobytes(), bp.value - 8 * start
     if ret == -13:
         return None
     raise InflateError(_STREAM_ERRMSG[ret])
 
 
 def inflate_raw(data: bytes, wbits: int = 15, dictionary: bytes | None = None,
-                strict_dist: bool = False):
-    """One-shot raw inflate. Returns (output_bytes, bits_consumed)."""
+                strict_dist: bool = False, start: int = 0):
+    """One-shot raw inflate of data[start:] (offset passed through to the
+    native loop so callers never slice multi-MB payloads). Returns
+    (output_bytes, bits_consumed past start)."""
     lib = _native()
     if lib is not None:
-        r = _inflate_raw_native(lib, bytes(data), wbits, dictionary)
+        r = _inflate_raw_native(lib, bytes(data), wbits, dictionary, start)
         if r is not None:
             return r
     inf = RawInflater(wbits=wbits, dictionary=dictionary, strict_dist=strict_dist)
-    inf.feed(data)
+    inf.feed(data[start:] if start else data)
     r = inf.run(finish=True)
     assert r == STREAM_END
     return inf.output(), inf.bitpos
