@@ -57,22 +57,37 @@ def test_two_process_cluster_compress(tmp_path):
     blob = open(out_path, "rb").read()
     assert zlib.decompress(blob) == data
     assert len(blob) < len(data)
+    # the multi-host path runs the REAL dynamic pipeline: ratio must track
+    # the single-process zlib oracle (small per-16K-tree overhead allowed),
+    # unlike the old static-trees-only demo lane (round-2 weak #7)
+    assert len(blob) <= int(len(zlib.compress(data, 6)) * 1.10), \
+        (len(blob), len(zlib.compress(data, 6)))
+    # first block must be dynamic (btype=2) on this compressible corpus
+    assert ((blob[2] >> 1) & 3) == 2, "expected a dynamic first block"
+    # sharded multi-host decode output (written by the workers)
+    dec = open(out_path + ".dec", "rb").read()
+    assert dec == data
 
 
 def test_singleprocess_global_path():
-    """Same multihost code path on an in-process 8-device mesh (guards the
-    assembly + combine logic without subprocess overhead)."""
-    import jax
-    from jax.sharding import Mesh
-
+    """Same multihost code path (global-array placement + gather seam) in a
+    single process (guards the placement/fetch logic without subprocess
+    overhead)."""
     from zlibng_tpu.parallel.multihost import (
-        assemble_zlib_stream, compress_global,
+        multihost_compress, multihost_decompress_segments,
     )
+    from zlibng_tpu.stream.deflate import compress as compress_host
 
     data = (b"abcabcabc" * 3000) + bytes(range(256)) * 8
-    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
-    packed, totals, shard_adlers, payload_lens, shard_payload_lens = \
-        compress_global(data, mesh)
-    blob = assemble_zlib_stream(packed, totals, payload_lens,
-                                shard_adlers, shard_payload_lens)
+    blob = multihost_compress(data, lane_block=8192)
+    assert blob is not None
     assert zlib.decompress(blob) == data
+
+    segs = [data[i:i + 8192] for i in range(0, len(data), 8192)]
+    raw = b""
+    starts = []
+    for s in segs:
+        starts.append(len(raw))
+        raw += compress_host(s, level=6, wbits=-15)
+    outs = multihost_decompress_segments(raw, starts)
+    assert b"".join(outs) == data

@@ -1,117 +1,86 @@
-"""Multi-host (jax.distributed) sharded compression.
+"""Multi-host (jax.distributed) sharded compression and decode.
 
 Scale-out beyond one host (SURVEY §2.10: the reference's answer is the
 external pigz process pool; ours is SPMD over a global mesh): every process
-contributes its local devices to one global `Mesh`, the sharded compress
-step (parallel/sharded.py) runs with lanes partitioned across ALL devices
-of ALL hosts, compressed lengths ride the in-graph all_gather, and host 0
-assembles the final zlib stream with exact adler32 combines.
+contributes its local devices to one global `Mesh`, and the SAME
+dynamic-Huffman pipeline that runs single-host (parallel/sharded.py
+compress_multichip / decompress_segments_multichip) runs with lanes and
+segments partitioned across ALL devices of ALL hosts. Only the array
+placement/fetch seam differs: inputs become global arrays via
+make_array_from_callback and sharded outputs come back via
+multihost_utils.process_allgather. Compressed lengths ride the in-graph
+all_gather; host 0 assembles the final zlib stream with exact adler32
+combines.
 
 The same code path runs on a real multi-host TPU slice (ICI/DCN
-collectives) and on the CPU-fake cluster used by
-tests/test_multihost.py (N processes × M virtual devices, Gloo).
+collectives) and on the CPU-fake cluster used by tests/test_multihost.py
+(N processes × M virtual devices, Gloo).
 """
 from __future__ import annotations
 
 import numpy as np
 
-from ..checksum.adler32 import adler32_combine
-from ..format.constants import ADLER_BASE  # noqa: F401 (re-export for workers)
-
-# lane geometry for the demo/test driver (kept small: CPU-fake friendly)
-_LANE = 4096
+from ..checksum.adler32 import adler32_combine  # noqa: F401 (worker re-export)
+from ..format.constants import ADLER_BASE  # noqa: F401 (worker re-export)
 
 
-def assemble_zlib_stream(packed: np.ndarray, totals: np.ndarray,
-                         payload_lens, shard_adlers: np.ndarray,
-                         shard_payload_lens) -> bytes:
-    """Stitch sharded static-block lane bitstreams (BFINAL=0 each) into one
-    zlib stream: bit-level lane concat + terminating empty static block +
-    zlib header/adler trailer (deflatePrime-style stitching, SURVEY §2.10)."""
-    from ..ops.deflate_tpu import _BitStitcher
-
-    stitch = _BitStitcher()
-    for i in range(packed.shape[0]):
-        stitch.append(packed[i], int(totals[i]))
-    # final empty static block: BFINAL=1|btype01 then 7-bit EOB
-    stitch.append_tokens([(1 | (1 << 1), 3), (0, 7)])
-
-    adler = 1
-    for a, ln in zip(np.asarray(shard_adlers).tolist(), shard_payload_lens):
-        adler = adler32_combine(adler, int(a), int(ln))
-
-    body = stitch.getvalue()
-    out = bytearray(b"\x78\x9c")  # wbits=15, default level marker
-    out += body
-    out += int(adler).to_bytes(4, "big")
-    return bytes(out)
-
-
-def compress_global(data: bytes, mesh, lane: int = _LANE):
-    """Run the sharded step over `mesh` (possibly spanning processes) on
-    `data` and return (packed, totals, shard_adlers, payload_lens,
-    shard_payload_lens) as host numpy (gathered on every process)."""
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from .sharded import make_compress_step
-
-    ndev = mesh.devices.size
-    nlanes = max(1, -(-len(data) // lane))
-    B = -(-nlanes // ndev) * ndev  # pad lane count to mesh multiple
-    buf = np.zeros((B, lane), np.uint8)
-    ends = np.zeros(B, np.int32)
-    for i in range(B):
-        seg = data[i * lane:(i + 1) * lane]
-        buf[i, :len(seg)] = np.frombuffer(seg, np.uint8)
-        ends[i] = len(seg)
-
-    step = make_compress_step(mesh, lane, 2 * lane + 64, chain=4,
-                              lazy=True, max_lazy=16)
-
-    sh = NamedSharding(mesh, P("d"))
-
-    def mk(arr, sharding):
-        return jax.make_array_from_callback(
-            arr.shape, sharding, lambda idx: arr[idx])
-
-    lanes_g = mk(buf, sh)
-    starts_g = mk(np.zeros(B, np.int32), sh)
-    ends_g = mk(ends, sh)
-    hist_g = mk(np.zeros(B, np.int32), sh)
-
-    packed, totals, all_bits, shard_adlers = step(
-        lanes_g, starts_g, ends_g, hist_g)
-    jax.block_until_ready(packed)
-
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils as mhu
-        packed_h = mhu.process_allgather(packed, tiled=True)
-        totals_h = mhu.process_allgather(totals, tiled=True)
-    else:
-        packed_h = np.asarray(packed)
-        totals_h = np.asarray(totals)
-    shard_adlers_h = np.asarray(shard_adlers)  # replicated out-spec
-
-    payload_lens = ends.astype(np.int64)
-    per_shard = B // ndev
-    shard_payload_lens = [int(payload_lens[s * per_shard:(s + 1) * per_shard]
-                              .sum()) for s in range(ndev)]
-    return (np.asarray(packed_h), np.asarray(totals_h), shard_adlers_h,
-            payload_lens, shard_payload_lens)
-
-
-def multihost_compress(data: bytes, lane: int = _LANE) -> bytes | None:
-    """Full multi-host one-shot: global mesh over every device of every
-    process. Returns the zlib stream on process 0, None elsewhere."""
+def _global_mesh():
     import jax
     from jax.sharding import Mesh
 
-    mesh = Mesh(np.array(jax.devices()), ("d",))
-    packed, totals, shard_adlers, payload_lens, shard_payload_lens = \
-        compress_global(data, mesh, lane)
-    if jax.process_index() != 0:
-        return None
-    return assemble_zlib_stream(packed, totals, payload_lens,
-                                shard_adlers, shard_payload_lens)
+    return Mesh(np.array(jax.devices()), ("d",))
+
+
+def _placement(mesh):
+    """(to_dev, to_host) for a possibly multi-process mesh: global-array
+    construction + cross-process gather of sharded outputs."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def to_dev(arr, spec=None):
+        arr = np.asarray(arr)
+        sh = NamedSharding(mesh, spec if spec is not None else P("d"))
+        return jax.make_array_from_callback(
+            arr.shape, sh, lambda idx: arr[idx])
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils as mhu
+
+        def to_host(x):
+            if getattr(x, "is_fully_addressable", True):
+                return np.asarray(x)
+            return np.asarray(mhu.process_allgather(x, tiled=True))
+    else:
+        to_host = np.asarray
+    return to_dev, to_host
+
+
+def multihost_compress(data: bytes, lane_block: int = 1 << 16,
+                       level: int = 6) -> bytes | None:
+    """Full multi-host one-shot zlib compression over every device of every
+    process, using the real dynamic-Huffman sharded pipeline (per-lane
+    dynamic/static tree choice, device bitpack, adler combine tree).
+    Returns the zlib stream on process 0, None elsewhere."""
+    import jax
+
+    from .sharded import compress_multichip
+
+    mesh = _global_mesh()
+    to_dev, to_host = _placement(mesh)
+    z = compress_multichip(bytes(data), mesh, level=level,
+                           lane_block=lane_block, to_dev=to_dev,
+                           to_host=to_host)
+    return z if jax.process_index() == 0 else None
+
+
+def multihost_decompress_segments(blob: bytes, start_bytes) -> list[bytes]:
+    """Multi-host sharded decode of indexed full-flush segments: phase-A
+    lanes and phase-B segments partition across the global mesh (every
+    process runs the same SPMD program; outputs gather to every process).
+    Returns the decoded segments (on every process)."""
+    from .sharded import decompress_segments_multichip
+
+    mesh = _global_mesh()
+    to_dev, to_host = _placement(mesh)
+    return decompress_segments_multichip(bytes(blob), start_bytes, mesh,
+                                         to_dev=to_dev, to_host=to_host)

@@ -266,12 +266,19 @@ def make_stage2_step(mesh: Mesh, out_max: int, axis: str = "d"):
 
 
 def compress_multichip(data: bytes, mesh: Mesh, level: int = 6,
-                       lane_block: int = 1 << 16, axis: str = "d") -> bytes:
+                       lane_block: int = 1 << 16, axis: str = "d",
+                       to_dev=None, to_host=None) -> bytes:
     """Full multi-chip zlib compression: lanes shard across the mesh, each
     lane becomes one DEFLATE block with its own dynamic/static tree
     (host-built from device histograms, like the single-chip pipeline),
     host stitches the bit-aligned shards and wraps with the device-combined
-    adler32. Output is a standard single-stream zlib member."""
+    adler32. Output is a standard single-stream zlib member.
+
+    to_dev(arr, spec)/to_host(x) inject the array placement/fetch seam:
+    single-host defaults are jnp.asarray/np.asarray; multi-host
+    (parallel/multihost.py) passes make_array_from_callback over the global
+    mesh and a process_allgather fetch, so the SAME pipeline runs across
+    jax.distributed processes (SURVEY §2.10)."""
     from ..format import headers as H
     from ..format.constants import (
         FIXED_DIST_CODES_REV as FDC, FIXED_DIST_LENGTHS as FDL,
@@ -283,6 +290,11 @@ def compress_multichip(data: bytes, mesh: Mesh, level: int = 6,
         HMAX, _BitStitcher, _extra_cost, _header_tokens_to_arrays,
     )
     from ..stream.deflate import LEVELS
+
+    if to_dev is None:
+        to_dev = lambda arr, spec=None: jnp.asarray(arr)  # noqa: E731
+    if to_host is None:
+        to_host = np.asarray
 
     ndev = mesh.devices.size
     lc = LEVELS[max(1, min(9, level))]
@@ -307,11 +319,12 @@ def compress_multichip(data: bytes, mesh: Mesh, level: int = 6,
     s1 = make_stage1_step(mesh, lc.chain, lc.lazy, lc.max_lazy, lc.nice,
                           axis=axis)
     s2 = make_stage2_step(mesh, out_max, axis=axis)
+    sp = P(axis)
     sel, tok_len, tok_dist, lfreqs_d, dfreqs_d = s1(
-        jnp.asarray(lanes), jnp.asarray(enc_starts), jnp.asarray(enc_ends),
-        jnp.asarray(hist_valids))
-    lfreqs = np.asarray(lfreqs_d)
-    dfreqs = np.asarray(dfreqs_d)
+        to_dev(lanes, sp), to_dev(enc_starts, sp), to_dev(enc_ends, sp),
+        to_dev(hist_valids, sp))
+    lfreqs = to_host(lfreqs_d)
+    dfreqs = to_host(dfreqs_d)
 
     # host: per-lane tree build + type choice (dynamic vs static) + header
     hdr_lo = np.zeros((B, HMAX), np.uint32)
@@ -347,13 +360,13 @@ def compress_multichip(data: bytes, mesh: Mesh, level: int = 6,
         hdr_lo[bi], hdr_hi[bi], hdr_nb[bi] = _header_tokens_to_arrays(tokens)
 
     packed, totals, all_bits, shard_adlers = s2(
-        jnp.asarray(lanes), tok_len, tok_dist, sel,
-        jnp.asarray(hdr_lo), jnp.asarray(hdr_hi), jnp.asarray(hdr_nb),
-        jnp.asarray(llen_tab), jnp.asarray(lcode_tab),
-        jnp.asarray(dlen_tab), jnp.asarray(dcode_tab),
-        jnp.asarray(enc_starts), jnp.asarray(enc_ends))
-    packed_np = np.asarray(packed)
-    totals_np = np.asarray(totals)
+        to_dev(lanes, sp), tok_len, tok_dist, sel,
+        to_dev(hdr_lo, sp), to_dev(hdr_hi, sp), to_dev(hdr_nb, sp),
+        to_dev(llen_tab, sp), to_dev(lcode_tab, sp),
+        to_dev(dlen_tab, sp), to_dev(dcode_tab, sp),
+        to_dev(enc_starts, sp), to_dev(enc_ends, sp))
+    packed_np = to_host(packed)
+    totals_np = to_host(totals)
 
     stitch = _BitStitcher()
     for bi in range(nblocks):
@@ -402,16 +415,28 @@ def make_decode_phase_b(mesh: Mesh, out_cap: int, axis: str = "d"):
 
 
 def decompress_segments_multichip(blob: bytes, start_bytes, mesh: Mesh,
-                                  axis: str = "d") -> list[bytes]:
+                                  axis: str = "d", to_dev=None,
+                                  to_host=None) -> list[bytes]:
     """Sharded analog of ops/inflate_tpu.decompress_segments_tpu: decode
     independent full-flush segments with phase A lanes and phase B segments
     distributed over the mesh. Falls back to the single-device engine on
-    any anomaly (exact errors are its job)."""
+    any anomaly (exact errors are its job).
+
+    to_dev(arr, spec)/to_host(x) inject multi-host array placement/fetch
+    (see compress_multichip); defaults are single-host."""
     from ..ops import inflate_tpu as IT
+
+    default_placement = to_dev is None
+    if default_placement:
+        to_dev = lambda arr, spec=None: jnp.asarray(arr)  # noqa: E731
+    if to_host is None:
+        to_host = np.asarray
 
     ndev = mesh.devices.size
     pa = make_decode_phase_a(mesh, axis=axis)
     pb_cache: dict[int, object] = {}
+    sp = P(axis)
+    rp = P()
 
     def phase_a_pad(lanes, lits, dists, starts, lm, dm):
         B = lanes.shape[0]
@@ -424,9 +449,9 @@ def decompress_segments_multichip(blob: bytes, start_bytes, mesh: Mesh,
                     [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
             lanes, lits, dists = padz(lanes), padz(lits), padz(dists)
             starts, lm, dm = padz(starts), padz(lm), padz(dm)
-        outs = pa(jnp.asarray(lanes), jnp.asarray(lits), jnp.asarray(dists),
-                  jnp.asarray(starts), jnp.asarray(lm), jnp.asarray(dm))
-        return tuple(np.asarray(o)[:B] for o in outs)
+        outs = pa(to_dev(lanes, sp), to_dev(lits, sp), to_dev(dists, sp),
+                  to_dev(starts, sp), to_dev(lm, sp), to_dev(dm, sp))
+        return tuple(to_host(o)[:B] for o in outs)
 
     def phase_b_batched(kinds, auxs, olens, comp_j, dictv_j, dict_lens,
                         wsize, out_cap):
@@ -442,11 +467,16 @@ def decompress_segments_multichip(blob: bytes, start_bytes, mesh: Mesh,
                                         np.zeros(pad, dict_lens.dtype)])
         if out_cap not in pb_cache:
             pb_cache[out_cap] = make_decode_phase_b(mesh, out_cap, axis=axis)
+        if default_placement:
+            comp_g, dictv_g = comp_j, dictv_j
+        else:  # multi-host: replicate the blob/dict as global arrays
+            comp_g = to_dev(np.asarray(comp_j), rp)
+            dictv_g = to_dev(np.asarray(dictv_j), rp)
         out, bad = pb_cache[out_cap](
-            jnp.asarray(kinds), jnp.asarray(auxs), jnp.asarray(olens),
-            comp_j, dictv_j, jnp.asarray(dict_lens),
-            jnp.full(1, wsize, jnp.int32))
-        return np.asarray(out)[:S], np.asarray(bad)[:S]
+            to_dev(kinds, sp), to_dev(auxs, sp), to_dev(olens, sp),
+            comp_g, dictv_g, to_dev(dict_lens, sp),
+            to_dev(np.full(1, wsize, np.int32), rp))
+        return to_host(out)[:S], to_host(bad)[:S]
 
     ran = {"a": False, "b": False}
 
