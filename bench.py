@@ -37,8 +37,35 @@ def load_corpus(target_mb: float = 8.0) -> bytes:
     return blob * reps
 
 
+def _device_alive(timeout_s: int = 240) -> bool:
+    """Probe the device with a tiny jit IN A SUBPROCESS: the axon tunnel
+    can wedge (hang forever in C++) after a killed transfer, and a hung
+    in-process XLA call cannot be interrupted from Python. A subprocess
+    probe turns 'bench hangs forever' into a reported error."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jax.jit(lambda a: (a*2).sum())"
+             "(jnp.ones(8, jnp.int32))))"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import zlib
+
+    if not _device_alive():
+        print(json.dumps({
+            "metric": "corpus_l6_compress_throughput", "value": 0.0,
+            "unit": "MB/s", "vs_baseline": None,
+            "extra": {"error": "device probe timed out: axon tunnel "
+                               "wedged/unreachable; no numbers this run"}}))
+        return
 
     from zlibng_tpu.ops.deflate_tpu import compress_tpu
     from zlibng_tpu.ops.inflate_tpu import decompress_tpu

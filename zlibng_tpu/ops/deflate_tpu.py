@@ -36,6 +36,12 @@ from ..format.constants import (
 )
 from ..huffman.encode import build_dynamic_header, huffman_table
 from ..stream.deflate import LEVELS, Z_DEFAULT_STRATEGY, Z_FIXED
+from ..trace import span, trace
+from .. import trace as _trace_mod
+
+# bit-accounting audit counters (trees.c:693 compressed_len == bits_sent
+# analog; populated only while tracing is enabled — see trace.py)
+audit = {"groups_checked": 0, "bit_overruns": 0}
 from .bitpack_jax import render_body_tokens
 from .bitpack_merge import hierarchical_pack
 from .lz77_jax import lane_freqs, lz77_lane
@@ -287,10 +293,12 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
             enc_ends[i] = LANE_HIST + min(LANE_BLOCK, n - bi * LANE_BLOCK)
             hist_valids[i] = first_hist_valid if bi == 0 else 0
         lanes_d = jnp.asarray(lanes)
-        outs, lfreqs_d, dfreqs_d = _stage1(
-            lanes_d, jnp.asarray(enc_ends), jnp.asarray(hist_valids),
-            lc.chain, lc.lazy, lc.max_lazy, lc.nice,
-            strategy if strategy in (1, 2, 3) else 0)
+        with span("deflate stage1 dispatch lanes[%d:%d] Bpad=%d", g0, g1,
+                  Bpad):
+            outs, lfreqs_d, dfreqs_d = _stage1(
+                lanes_d, jnp.asarray(enc_ends), jnp.asarray(hist_valids),
+                lc.chain, lc.lazy, lc.max_lazy, lc.nice,
+                strategy if strategy in (1, 2, 3) else 0)
         return dict(g0=g0, g1=g1, B=B, Bpad=Bpad, lanes_d=lanes_d,
                     outs=outs, lfreqs_d=lfreqs_d, dfreqs_d=dfreqs_d,
                     enc_ends=enc_ends)
@@ -373,6 +381,8 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
         # stored units get it in the stitcher)
         last_unit = units[-1] if (g1 == nblocks and units) else None
 
+        group_expect = []  # (units, predicted header+body bits) when tracing
+
         for grp in groups:
             gfinal = last_unit is not None and grp[-1] == last_unit
             lfreq = np.zeros(286, np.int64)
@@ -416,17 +426,21 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
             i0, q0 = grp[0]
             hdr_lo[i0, q0], hdr_hi[i0, q0], hdr_nb[i0, q0] = \
                 _header_tokens_to_arrays(tokens)
+            if _trace_mod.enabled():
+                group_expect.append((list(grp), best + 3))
 
-        packed, totals = _stage2(
-            lanes_d, outs["tok_len"], outs["tok_dist"],
-            outs["sel"], jnp.asarray(hdr_lo), jnp.asarray(hdr_hi),
-            jnp.asarray(hdr_nb), jnp.asarray(llen_tab), jnp.asarray(lcode_tab),
-            jnp.asarray(dlen_tab), jnp.asarray(dcode_tab),
-            jnp.asarray(eob_mask))
+        with span("deflate stage2 dispatch lanes[%d:%d]", g0, g1):
+            packed, totals = _stage2(
+                lanes_d, outs["tok_len"], outs["tok_dist"],
+                outs["sel"], jnp.asarray(hdr_lo), jnp.asarray(hdr_hi),
+                jnp.asarray(hdr_nb), jnp.asarray(llen_tab),
+                jnp.asarray(lcode_tab), jnp.asarray(dlen_tab),
+                jnp.asarray(dcode_tab), jnp.asarray(eob_mask))
         gm["packed_d"] = packed
         gm["totals_d"] = totals
         gm["stored_mask"] = stored_mask
         gm["unit_lens"] = unit_lens
+        gm["group_expect"] = group_expect
         # stage1 intermediates are no longer needed on device
         del gm["outs"], gm["lanes_d"], gm["lfreqs_d"], gm["dfreqs_d"]
 
@@ -434,6 +448,19 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
         packed = np.asarray(gm["packed_d"])          # (Bpad, QPL, OUT_Q)
         totals = np.asarray(gm["totals_d"])          # (Bpad, QPL)
         stored_mask, unit_lens = gm["stored_mask"], gm["unit_lens"]
+        # bits_sent invariant (trees.c:693 analog): predicted bits are an
+        # upper bound — stage-2 demotion only shrinks a block
+        for grp, expect in gm.get("group_expect", ()):
+            actual = sum(int(totals[i, q]) for i, q in grp
+                         if not stored_mask[i, q])
+            if any(stored_mask[i, q] for i, q in grp):
+                continue  # group re-chosen as stored after exact costing
+            audit["groups_checked"] += 1
+            if actual > expect:
+                audit["bit_overruns"] += 1
+            trace("deflate group units=%d bits_sent=%d predicted=%d%s",
+                  len(grp), actual, expect,
+                  " OVERRUN" if actual > expect else "")
         for i, bi in enumerate(range(gm["g0"], gm["g1"])):
             blen = int(gm["enc_ends"][i]) - LANE_HIST
             for q in range(QPL):

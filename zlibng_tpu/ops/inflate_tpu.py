@@ -492,11 +492,15 @@ def inflate_raw_tpu(data: bytes, wbits: int = 15,
     force a path. Falls back to the serial conformance decoder on any
     anomaly so errors and messages are always format-exact (inflate.c
     error strings)."""
+    from ..trace import trace
+
     data = bytes(data)
     if engine == "host" or (engine == "auto"
                             and len(data) - start > _DEVICE_SINGLE_MAX):
         from ..stream.inflate_serial import inflate_raw
         stats["host_routed"] += 1
+        trace("inflate route=host engine=%s comp_bytes=%d", engine,
+              len(data) - start)
         return inflate_raw(data, wbits=wbits, dictionary=dictionary,
                            start=start)
     if start:
@@ -505,10 +509,13 @@ def inflate_raw_tpu(data: bytes, wbits: int = 15,
         outs, ends = _decode_segments(data, [(0, None)], dictionary,
                                       1 << wbits)
         stats["device_ok"] += 1
+        trace("inflate route=device comp_bytes=%d out_bytes=%d", len(data),
+              len(outs[0]))
         return outs[0], ends[0]
     except (_Fallback, InflateError):
         from ..stream.inflate_serial import inflate_raw
         stats["fallback"] += 1
+        trace("inflate route=fallback comp_bytes=%d", len(data))
         return inflate_raw(data, wbits=wbits, dictionary=dictionary)
 
 

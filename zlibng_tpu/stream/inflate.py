@@ -86,11 +86,56 @@ def decompress(data: bytes, wbits: int = 15,
     return decompress_member(data, wbits=wbits, dictionary=dictionary).data
 
 
-def inflate_back(in_fn, out_fn, window: bytes | None = None) -> None:
+def inflate_back(in_fn, out_fn, window=None) -> None:
     """zng_inflateBack analog (reference infback.c:34-513): raw-deflate
     callback-pull decoding. `in_fn()` returns the next input chunk (b'' at
-    end); `out_fn(bytes)` consumes output; `window` optionally pre-seeds
-    history (the user-supplied-window analog)."""
+    end); `out_fn` consumes output.
+
+    `window` selects the delivery contract:
+      * a WRITABLE buffer (bytearray / writable memoryview) is the
+        caller-owned sliding window of infback.c:34-71: the decoder fills
+        it from offset 0, calls `out_fn(memoryview_into_window)` each time
+        it fills completely (and once at stream end with the partial
+        tail) — output is delivered as views INTO the caller's buffer
+        with no per-chunk allocation, and after return the buffer holds
+        the final window contents, exactly like the C contract.
+      * immutable bytes pre-seed history (dictionary-style shim, kept for
+        compatibility); None = plain streaming; both deliver bytes chunks.
+    """
+    writable = isinstance(window, (bytearray, memoryview)) and \
+        not (isinstance(window, memoryview) and window.readonly)
+    if writable:
+        win = memoryview(window)
+        wsize = len(win)
+        if wsize == 0:
+            raise ValueError("inflateBack window must be non-empty")
+        inf = RawInflater()
+        emitted = 0      # bytes handed to out_fn
+        put = 0          # fill cursor within the window
+        while True:
+            chunk = in_fn()
+            done = not chunk
+            if chunk:
+                inf.feed(chunk)
+            r = inf.run(finish=done)
+            # deliver produced bytes through the caller's window: fill to
+            # the end of the window, flush, repeat (infback.c put/left)
+            while len(inf.out) - emitted >= wsize - put:
+                take = wsize - put
+                win[put:] = inf.out[emitted:emitted + take]
+                emitted += take
+                put = 0
+                out_fn(win[:])
+            if r == "stream_end":
+                rem = len(inf.out) - emitted
+                if rem:
+                    win[put:put + rem] = inf.out[emitted:]
+                    out_fn(win[put:put + rem])
+                    put += rem
+                return
+            if done:
+                raise InflateError("unexpected end of stream")
+
     inf = RawInflater(dictionary=window)
     emitted = inf.dict_len
     while True:
