@@ -91,27 +91,36 @@ def _phase_a(lane_bytes, lit_luts, dist_luts, start_bits, lit_masks,
     invalid), only the first lit_masks[b]+1 / dist_masks[b]+1 entries of
     lane b are valid (variable-width tables, the flat analog of
     inftrees.c:30-295 root-bits sizing); start_bits (B,) i32 bit offset of
-    the first symbol. Returns compacted per-lane token arrays + counts."""
+    the first symbol. Returns compacted per-lane token arrays + counts.
+
+    Peeks are on-demand 32-bit word reads (w32[p>>3] >> (p&7)) instead of
+    a materialized (B, N-bits) peek matrix: the 32-bit word at a symbol's
+    byte covers its code (<=15 bits) plus length extras (<=5) from any bit
+    offset (15+5+7 <= 32), so the literal/length half needs NO dynamic
+    gather at all — only the distance code/extras (starting <=20 bits in)
+    read through two word gathers. This drops phase A's per-bit cost from
+    ~16 peek-build adds + 5 row gathers to ~1 build op + 3 gathers."""
     B, CB = lane_bytes.shape
     N = CB * 8
-    NP_ = N + 64
     T_CAP = N // 4
+    U32_ = jnp.uint32
 
-    # bits, LSB-first, padded so every lookahead index is in range
-    bits = ((lane_bytes[:, :, None].astype(I32)
-             >> jnp.arange(8, dtype=I32)[None, None, :]) & 1).reshape(B, N)
-    bitsp = jnp.pad(bits, ((0, 0), (0, 80)))
-    # peek[p] = next 16 bits at p (LSB-first) — 16 shifted adds, no gathers
-    peek = jnp.zeros((B, NP_), I32)
-    for i in range(16):
-        peek = peek + (bitsp[:, i:i + NP_] << i)
+    # LE 32-bit word at every BYTE offset (4 shifted adds per byte)
+    lb = jnp.pad(lane_bytes, ((0, 0), (0, 8))).astype(U32_)
+    w32 = (lb[:, :CB] | (lb[:, 1:CB + 1] << 8) | (lb[:, 2:CB + 2] << 16)
+           | (lb[:, 3:CB + 3] << 24))                       # (B, CB)
+    CBP = CB + 2
+    w32p = jnp.pad(w32, ((0, 0), (0, 2)))                   # guard gathers
 
     pos = jnp.arange(N, dtype=I32)[None, :]
+    r = (pos & 7).astype(U32_)
+    # dense per-bit 22-bit window: broadcast each byte's word to its 8 bit
+    # offsets (reshape, no gather), shift by the in-byte offset
+    wd = (jnp.repeat(w32, 8, axis=1) >> r).astype(I32)
 
     # literal/length decode at every position (one LUT gather, masked to
     # each lane's table width)
-    ent = jnp.take_along_axis(lit_luts, peek[:, :N] & lit_masks[:, None],
-                              axis=1)
+    ent = jnp.take_along_axis(lit_luts, wd & lit_masks[:, None], axis=1)
     nb = ent & 15
     sym = ent >> 4
     invalid = ent < 0
@@ -119,24 +128,27 @@ def _phase_a(lane_bytes, lit_luts, dist_luts, start_bits, lit_masks,
     is_len = sym > 256
     invalid = invalid | (sym > 285)
 
-    # length base/extra: sym 257..285 -> LENGTH_BASE/extra-bit count
+    # length base/extra: sym 257..285 -> LENGTH_BASE/extra-bit count;
+    # extras sit at bit nb of the SAME dense window (nb+e_l <= 20 < 32-7)
     i_l = jnp.clip(sym - 257, 0, 28)
     e_l = jnp.where(i_l >= 28, 0, jnp.clip((i_l - 4) >> 2, 0, 5))
-    q = jnp.minimum(pos + nb, NP_ - 1)
-    lext = jnp.take_along_axis(peek, q, axis=1) & ((1 << e_l) - 1)
+    lext = (wd >> nb) & ((1 << e_l) - 1)
     length = jnp.take(_LB_J, i_l) + lext
 
-    # distance decode at the post-length position (dynamic-offset gathers)
-    dq = jnp.minimum(q + e_l, NP_ - 1)
-    dpk = jnp.take_along_axis(peek, dq, axis=1) & dist_masks[:, None]
+    # distance decode at the post-length position: one word gather for the
+    # dist code, one for its extras (e_d <= 13 can cross the first word)
+    q = pos + nb + e_l
+    wq = jnp.take_along_axis(w32p, jnp.minimum(q >> 3, CBP - 1), axis=1)
+    dpk = (wq >> (q & 7).astype(U32_)).astype(I32) & dist_masks[:, None]
     dent = jnp.take_along_axis(dist_luts, dpk, axis=1)
     dnb = dent & 15
     dsym = dent >> 4
     invalid = invalid | (is_len & ((dent < 0) | (dsym > 29)))
     i_d = jnp.clip(dsym, 0, 29)
     e_d = jnp.clip((i_d - 2) >> 1, 0, 13)
-    dq2 = jnp.minimum(dq + dnb, NP_ - 1)
-    dext = jnp.take_along_axis(peek, dq2, axis=1) & ((1 << e_d) - 1)
+    q2 = q + dnb
+    wq2 = jnp.take_along_axis(w32p, jnp.minimum(q2 >> 3, CBP - 1), axis=1)
+    dext = (wq2 >> (q2 & 7).astype(U32_)).astype(I32) & ((1 << e_d) - 1)
     dist = jnp.take(_DB_J, i_d) + dext
 
     consumed = jnp.where(is_len, nb + e_l + dnb + e_d, nb)
