@@ -130,3 +130,20 @@ def test_tpu_default_vs_rle_ordering(corpus):
     c_rle = compress_tpu(data, 6, strategy=Z_RLE)
     c_huf = compress_tpu(data, 6, strategy=Z_HUFFMAN_ONLY)
     assert len(c_def) <= len(c_rle) <= len(c_huf)
+
+
+def test_tpu_tune_good_controls_escalation(corpus):
+    """deflateTune's `good` is live on the device path: a higher threshold
+    escalates more positions, so output is never larger, and a degenerate
+    threshold (good<=4 => dense probes only) is valid but weaker."""
+    from zlibng_tpu.stream.deflate import LEVELS, LevelConfig
+    data = corpus["text"]
+    lc = LEVELS[6]
+    lo = compress_tpu(data, 6, tune=LevelConfig(lc.chain, lc.lazy,
+                                                lc.max_lazy, lc.nice, good=4))
+    hi = compress_tpu(data, 6, tune=LevelConfig(lc.chain, lc.lazy,
+                                                lc.max_lazy, lc.nice,
+                                                good=16))
+    assert zlib.decompress(lo) == data and zlib.decompress(hi) == data
+    assert len(hi) <= len(lo)
+    assert len(hi) < len(lo), "good threshold had no effect on text"

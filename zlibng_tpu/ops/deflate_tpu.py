@@ -63,15 +63,16 @@ U32 = jnp.uint32
 # jitted stages
 # ---------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("chain", "lazy", "max_lazy",
-                                              "nice", "strategy"))
+                                              "nice", "strategy", "good"))
 def _stage1(lanes, enc_ends, hist_valids, chain, lazy, max_lazy, nice=258,
-            strategy=0):
+            strategy=0, good=12):
     from .lz77_jax import finalize_tokens, unit_freqs
     from .parse_pallas import parse_select
 
     def one(lane, ee, hv):
         return lz77_lane(lane, jnp.int32(LANE_HIST), ee, hv, chain, lazy,
-                         max_lazy, nice, unit=UNIT, strategy=strategy)
+                         max_lazy, nice, unit=UNIT, strategy=strategy,
+                         good=good)
 
     core = jax.vmap(one)(lanes, enc_ends, hist_valids)
     B = lanes.shape[0]
@@ -258,10 +259,13 @@ def _est_block_bits(lfreq: np.ndarray, dfreq: np.ndarray) -> float:
 # ---------------------------------------------------------------------------
 def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                         strategy: int = Z_DEFAULT_STRATEGY,
-                        dictionary: bytes | None = None) -> bytes:
-    """Raw DEFLATE payload for `buf` using the TPU pipeline."""
+                        dictionary: bytes | None = None,
+                        tune=None) -> bytes:
+    """Raw DEFLATE payload for `buf` using the TPU pipeline. `tune` (a
+    stream.deflate.LevelConfig) overrides the level's match-engine knobs —
+    the deflateTune seam (deflate.c:679-690) for the device path."""
     n = buf.size
-    lc = LEVELS[max(1, min(9, level))]
+    lc = tune if tune is not None else LEVELS[max(1, min(9, level))]
     nblocks = max(1, -(-n // LANE_BLOCK))
 
     # virtual buffer with 32K zero/dict prefix so every lane slices uniformly
@@ -298,7 +302,7 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
             outs, lfreqs_d, dfreqs_d = _stage1(
                 lanes_d, jnp.asarray(enc_ends), jnp.asarray(hist_valids),
                 lc.chain, lc.lazy, lc.max_lazy, lc.nice,
-                strategy if strategy in (1, 2, 3) else 0)
+                strategy if strategy in (1, 2, 3) else 0, lc.good)
         return dict(g0=g0, g1=g1, B=B, Bpad=Bpad, lanes_d=lanes_d,
                     outs=outs, lfreqs_d=lfreqs_d, dfreqs_d=dfreqs_d,
                     enc_ends=enc_ends)
@@ -499,7 +503,7 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
 
 def compress_tpu(data, level: int = 6, wbits: int = 15,
                  strategy: int = Z_DEFAULT_STRATEGY,
-                 dictionary: bytes | None = None) -> bytes:
+                 dictionary: bytes | None = None, tune=None) -> bytes:
     """One-shot TPU compression with zlib/gzip/raw framing."""
     if not (-15 <= wbits <= 31):
         raise StreamError("invalid windowBits")
@@ -509,7 +513,7 @@ def compress_tpu(data, level: int = 6, wbits: int = 15,
         from ..stream.deflate import compress as compress_host
         return compress_host(bytes(data), level=level, wbits=wbits,
                              strategy=strategy, dictionary=dictionary)
-    payload = deflate_payload_tpu(buf, level, strategy, dictionary)
+    payload = deflate_payload_tpu(buf, level, strategy, dictionary, tune)
     if wbits < 0:
         return payload
     if wbits > 15:

@@ -130,7 +130,7 @@ def dist_extra_arith(dist: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
               hist_valid_from: jnp.ndarray, chain: int, lazy: bool,
               max_lazy: int, nice: int = 258, unit: int = 0,
-              strategy: int = 0) -> dict:
+              strategy: int = 0, good: int = GOOD_L16) -> dict:
     """data: (LANE,) uint8. enc_start/enc_end/hist_valid_from: () int32.
     unit > 0 caps matches at `unit`-byte boundaries past enc_start so the
     encoder can emit any unit as an independent block (stored/tree choice
@@ -207,9 +207,10 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
             kd = dense + 1
             has_deeper = jnp.concatenate(
                 [jnp.zeros(kd, bool), h_sorted[kd:] == h_sorted[:-kd]])
+            good_l16 = max(4, min(good, 16))
             cur_l16 = jnp.where(best_score > NEG,
                                 (best_score + (pos_s - best_cand_s)) >> 20, 0)
-            need = (has_deeper & (cur_l16 < GOOD_L16)
+            need = (has_deeper & (cur_l16 < good_l16)
                     & (pos_s >= enc_start) & (pos_s < enc_end))
             rank = jnp.cumsum(need.astype(I32)) - 1
             total = jnp.sum(need.astype(I32))

@@ -179,7 +179,8 @@ def _shard_map(fn, mesh, in_specs, out_specs):
 
 
 def make_stage1_step(mesh: Mesh, chain: int = 4, lazy: bool = True,
-                     max_lazy: int = 16, nice: int = 258, axis: str = "d"):
+                     max_lazy: int = 16, nice: int = 258, axis: str = "d",
+                     good: int = 12):
     """Sharded stage 1: LZ77 parse + per-lane symbol histograms.
 
     (lanes (B,L) u8, enc_starts, enc_ends, hist_valids (B,) i32) ->
@@ -193,7 +194,7 @@ def make_stage1_step(mesh: Mesh, chain: int = 4, lazy: bool = True,
 
     def shard_fn(lanes, enc_starts, enc_ends, hist_valids):
         core = jax.vmap(lambda l, es, ee, hv: lz77_lane(
-            l, es, ee, hv, chain, lazy, max_lazy, nice))(
+            l, es, ee, hv, chain, lazy, max_lazy, nice, good=good))(
                 lanes, enc_starts, enc_ends, hist_valids)
         bounds = jnp.stack([enc_starts, enc_ends], axis=1)
         sel = parse_select(core["step"], bounds)
@@ -317,7 +318,7 @@ def compress_multichip(data: bytes, mesh: Mesh, level: int = 6,
     out_max = lane_block + (lane_block >> 2) + 1024
 
     s1 = make_stage1_step(mesh, lc.chain, lc.lazy, lc.max_lazy, lc.nice,
-                          axis=axis)
+                          axis=axis, good=lc.good)
     s2 = make_stage2_step(mesh, out_max, axis=axis)
     sp = P(axis)
     sel, tok_len, tok_dist, lfreqs_d, dfreqs_d = s1(

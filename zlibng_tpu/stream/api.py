@@ -109,12 +109,17 @@ class Deflate:
 
     def tune(self, good: int, lazy: int, nice: int, chain: int) -> None:
         """deflateTune (deflate.c:679-690): expert match-engine knobs.
-        Per-stream override (the reference stores these in deflate_state);
-        `good` has no engine analog — chain-quartering above good_length is
-        subsumed by the fixed candidate budget."""
+        Per-stream override (the reference stores these in deflate_state).
+        In the block-parallel device pipeline (compress_tpu(tune=...)),
+        `good` maps onto the probe-escalation threshold (the batchwise
+        chain-quartering analog, ops/lz77_jax.py DENSE_PROBES): deep probes
+        run only while the best candidate is shorter than `good` bytes
+        (clamped to the 16-byte probe width). The streaming host engine
+        evaluates its whole fixed candidate budget, so `good` is subsumed
+        there."""
         lc = D.LEVELS[max(1, min(9, self.level))]
         self._tune = D.LevelConfig(chain=chain, lazy=lc.lazy, max_lazy=lazy,
-                                   nice=nice)
+                                   nice=nice, good=good)
 
     def set_header(self, header: H.GzipHeader) -> None:
         """deflateSetHeader: custom gzip header fields."""

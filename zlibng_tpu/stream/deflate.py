@@ -67,21 +67,26 @@ class LevelConfig:
     lazy: bool
     max_lazy: int
     nice: int
+    # good_length analog (deflate.c good_length / deflateTune `good`): the
+    # device probe loop escalates past its dense passes only for positions
+    # whose best probe is still shorter than `good` bytes (capped at the
+    # 16-byte probe width) — the batchwise form of chain-quartering.
+    good: int = 12
 
 
 # Parameterization of one engine, not seven code paths (SURVEY §7 stage 2).
 # Tuned to track configuration_table (deflate.c:142-168) quality tiers;
 # measured on lcet10: L6 ≈ 1.005x zlib-6, L9 ≤ zlib-9 (16-byte probes).
 LEVELS = {
-    1: LevelConfig(2, False, 4, 16),
-    2: LevelConfig(4, False, 5, 16),
-    3: LevelConfig(8, False, 6, 32),
-    4: LevelConfig(8, True, 16, 64),
-    5: LevelConfig(16, True, 16, 64),
-    6: LevelConfig(16, True, 32, 128),
-    7: LevelConfig(32, True, 32, 128),
-    8: LevelConfig(48, True, 64, 258),
-    9: LevelConfig(64, True, 258, 258),
+    1: LevelConfig(2, False, 4, 16, good=8),
+    2: LevelConfig(4, False, 5, 16, good=8),
+    3: LevelConfig(8, False, 6, 32, good=8),
+    4: LevelConfig(8, True, 16, 64, good=8),
+    5: LevelConfig(16, True, 16, 64, good=10),
+    6: LevelConfig(16, True, 32, 128, good=12),
+    7: LevelConfig(32, True, 32, 128, good=12),
+    8: LevelConfig(48, True, 64, 258, good=12),
+    9: LevelConfig(64, True, 258, 258, good=12),
 }
 
 
