@@ -223,6 +223,9 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
                 slot = jnp.where(in_win, rank - lo, M)
                 idx = jnp.full(M, N - 1, I32).at[slot].set(sidx, mode="drop")
                 live = jnp.zeros(M, bool).at[slot].set(in_win, mode="drop")
+                # dead slots scatter out-of-range (dropped) so a duplicate
+                # of a live row's index can never clobber its update
+                widx = jnp.where(live, idx, N)
                 qrow = w2_s[idx]                      # (M, W) row gather
                 qh = h_sorted[idx]
                 qpos = pos_s[idx]
@@ -244,10 +247,8 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
                     better = score > bs
                     bs = jnp.where(better, score, bs)
                     bc = jnp.where(better, cpos, bc)
-                bscore = bscore.at[idx].set(jnp.where(live, bs, bscore[idx]),
-                                            mode="drop")
-                bcand = bcand.at[idx].set(jnp.where(live, bc, bcand[idx]),
-                                          mode="drop")
+                bscore = bscore.at[widx].set(bs, mode="drop")
+                bcand = bcand.at[widx].set(bc, mode="drop")
                 return i + 1, bscore, bcand
 
             _, best_score, best_cand_s = jax.lax.while_loop(
