@@ -1,25 +1,33 @@
-"""Gather-free device bit packing: hierarchical bitstream merge.
+"""Device bit packing: windowed limb-merge + aligned placement.
 
 The scan+scatter (or per-bit searchsorted) formulations of DEFLATE bit
 packing are point-gather-bound on TPU. This kernel instead treats every
-token as a tiny byte-string (≤7 bytes holding ≤55 bits) and concatenates
-strings pairwise in log2(T) levels:
+token as a short little-endian u32-limb string (2 limbs holding <=55 bits)
+and concatenates strings pairwise — but only WITHIN windows of 128 tokens,
+so row caps stay <= 256 limbs (1 KiB):
 
-    level 0:  T strings of ≤ 8 bytes   (token bits at offset 0 of each cell)
-    level s:  T/2^s strings of ≤ min(8·2^s, OUT) bytes
-    concat(a, b): shift b left by (len(a) mod 8) bits (elementwise byte
-    carry), byte-shift by len(a)//8 via log2(cap) conditional static rolls,
-    OR into a's buffer.
+    level 0:  T strings of 2 limbs    (token bits at offset 0 of each cell)
+    level s:  T/2^s strings of 2^(s+1) limbs, s <= 7
+    concat(a, b): shift b left by (len(a) mod 32) bits (elementwise limb
+    carry), limb-shift by len(a)//32 via log2(cap) conditional static
+    rolls, OR into a's buffer.
 
-Every operation is an elementwise op or a static slice — no gathers, no
-scatters, no scans. Total traffic ≈ levels · Σ row bytes ≈ 17 · 8T bytes.
+The T/128 window rows are then byte-unpacked once and placed in one
+vectorized pass: each row is bit-shifted to its global intra-byte phase,
+and every output byte ORs the (at most 8) non-empty windows that can
+cover it, found by a log2(W)-round binary search over the window
+byte-start table plus chained prev-non-empty hops. All bits are globally
+disjoint and OR is idempotent, so over-collecting candidates is exact.
+
+Earlier rounds merged all the way up at byte granularity: the upper
+levels' conditional byte-rolls alone were ~75% of the whole encode
+pipeline's cost. Limb granularity cuts every level 4x and stopping at
+1 KiB caps removes the expensive upper levels entirely.
 
 This is the TPU-native replacement for trees_emit.h's sequential 64-bit
 send_bits accumulator.
 """
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -28,10 +36,47 @@ U8 = jnp.uint8
 U32 = jnp.uint32
 I32 = jnp.int32
 
+# tokens merged pairwise per window; limb caps stay <= 2*WINDOW
+WINDOW = 128
 
-def _bitshift_rows(rows: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
-    """Shift each row's LSB-first bitstream left by r (0..7) bits.
-    rows: (M, CAP) uint8; r: (M,) int32. Bit k of the stream moves to k+r."""
+
+def _bitshift_limbs(rows: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Shift each row's LSB-first bitstream left by r (0..31) bits.
+    rows: (M, L) uint32 little-endian limbs; r: (M,) int32."""
+    rr = r.astype(U32)[:, None]
+    lo = jnp.where(rr > 0, rows << rr, rows)
+    carry_in = jnp.concatenate(
+        [jnp.zeros((rows.shape[0], 1), U32), rows[:, :-1]], axis=1)
+    hi = jnp.where(rr > 0, carry_in >> (U32(32) - rr), U32(0))
+    return lo | hi
+
+
+def _limbshift_rows(rows: jnp.ndarray, nlimbs: jnp.ndarray,
+                    max_shift: int) -> jnp.ndarray:
+    """Shift each row right (toward higher indices) by nlimbs
+    (0..max_shift) limbs using conditional static rolls — log2 passes."""
+    out = rows
+    shift = nlimbs.astype(I32)
+    k = 1
+    while k <= max_shift:
+        use = ((shift & k) > 0)[:, None]
+        shifted = jnp.concatenate(
+            [jnp.zeros((rows.shape[0], k), U32), out[:, :-k]], axis=1)
+        out = jnp.where(use, shifted, out)
+        k <<= 1
+    return out
+
+
+def _limbs_to_bytes(rows: jnp.ndarray) -> jnp.ndarray:
+    """(M, L) u32 little-endian limbs -> (M, 4L) u8 bytes."""
+    M, L = rows.shape
+    b = jnp.stack([(rows >> U32(8 * k)) & U32(0xFF) for k in range(4)],
+                  axis=2)
+    return b.reshape(M, 4 * L).astype(U8)
+
+
+def _bitshift_bytes(rows: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Shift each row's LSB-first byte stream left by r (0..7) bits."""
     rw = rows.astype(U32)
     rr = r.astype(U32)[:, None]
     lo = (rw << rr) & 0xFF
@@ -39,21 +84,6 @@ def _bitshift_rows(rows: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
         [jnp.zeros((rows.shape[0], 1), U32), rw[:, :-1]], axis=1)
     hi = jnp.where(rr > 0, carry_in >> (8 - rr), 0)
     return (lo | hi).astype(U8)
-
-
-def _byteshift_rows(rows: jnp.ndarray, nbytes: jnp.ndarray, max_shift: int) -> jnp.ndarray:
-    """Shift each row right (toward higher indices) by nbytes (0..max_shift)
-    bytes using conditional static rolls — log2 passes, no gathers."""
-    out = rows
-    shift = nbytes.astype(I32)
-    k = 1
-    while k <= max_shift:
-        use = ((shift & k) > 0)[:, None]
-        shifted = jnp.concatenate(
-            [jnp.zeros((rows.shape[0], k), U8), out[:, :-k]], axis=1)
-        out = jnp.where(use, shifted, out)
-        k <<= 1
-    return out
 
 
 def hierarchical_pack(lo: jnp.ndarray, hi: jnp.ndarray, nbits: jnp.ndarray,
@@ -78,34 +108,82 @@ def hierarchical_pack(lo: jnp.ndarray, hi: jnp.ndarray, nbits: jnp.ndarray,
     lo = jnp.where(nb_lo >= 32, lo, lo & ((U32(1) << nb_lo) - 1))
     hi = hi & ((U32(1) << nb_hi) - 1)
 
-    # level-0 cells: 8 bytes per token from the 55-bit (lo, hi) pair
-    b0 = jnp.stack([
-        (lo >> 0) & 0xFF, (lo >> 8) & 0xFF, (lo >> 16) & 0xFF, (lo >> 24) & 0xFF,
-        (hi >> 0) & 0xFF, (hi >> 8) & 0xFF, (hi >> 16) & 0xFF,
-        jnp.zeros_like(lo),
-    ], axis=1).astype(U8)                      # (T, 8)
-    lens = nbits.astype(I32)                   # (T,)
-
-    rows = b0
-    cap = 8
-    while rows.shape[0] > 1:
+    rows = jnp.stack([lo.astype(U32), hi.astype(U32)], axis=1)  # (T, 2)
+    lens = nbits.astype(I32)
+    cap = 2                                    # limbs per row
+    while rows.shape[0] > max(1, T // WINDOW):
         a = rows[0::2]
         b = rows[1::2]
         la = lens[0::2]
         lb = lens[1::2]
-        new_cap = min(cap * 2, out_bytes + 8)
+        new_cap = cap * 2
         pad_a = jnp.concatenate(
-            [a, jnp.zeros((a.shape[0], new_cap - cap), U8)], axis=1)
+            [a, jnp.zeros((a.shape[0], new_cap - cap), U32)], axis=1)
         pad_b = jnp.concatenate(
-            [b, jnp.zeros((b.shape[0], new_cap - cap), U8)], axis=1)
-        sb = _bitshift_rows(pad_b, la & 7)
-        sb = _byteshift_rows(sb, la >> 3, max_shift=new_cap // 2)
+            [b, jnp.zeros((b.shape[0], new_cap - cap), U32)], axis=1)
+        sb = _bitshift_limbs(pad_b, la & 31)
+        sb = _limbshift_rows(sb, la >> 5, max_shift=new_cap // 2)
         rows = pad_a | sb
         lens = la + lb
         cap = new_cap
 
-    total = lens[0]
-    out = rows[0]
-    if out.shape[0] < out_bytes:
-        out = jnp.concatenate([out, jnp.zeros(out_bytes - out.shape[0], U8)])
-    return out[:out_bytes], total
+    byte_rows = _limbs_to_bytes(rows)
+    if rows.shape[0] == 1:
+        total = lens[0]
+        out = byte_rows[0]
+        if out.shape[0] < out_bytes:
+            out = jnp.concatenate(
+                [out, jnp.zeros(out_bytes - out.shape[0], U8)])
+        return out[:out_bytes], total
+
+    return _place_windows(byte_rows, lens, out_bytes)
+
+
+def _place_windows(rows: jnp.ndarray, lens: jnp.ndarray, out_bytes: int):
+    """Assemble W window byte-rows (bit lengths `lens`) into one stream.
+
+    Each row is bit-shifted to its global intra-byte phase, then every
+    output byte ORs the candidate rows that can cover it: the last
+    non-empty window starting at-or-before the byte and the 7 non-empty
+    windows before that — a byte holds 8 bits and every non-empty window
+    carries >= 1 bit, so at most 8 windows can touch one byte."""
+    W, cap = rows.shape
+    starts = jnp.concatenate([jnp.zeros(1, I32),
+                              jnp.cumsum(lens)[:-1].astype(I32)])
+    total = starts[-1] + lens[-1]
+    # phase-align: row w's stream begins at bit (starts[w] & 7) of its
+    # local byte 0 (one spill byte for the shift)
+    rows = jnp.concatenate([rows, jnp.zeros((W, 1), U8)], axis=1)
+    rows = _bitshift_bytes(rows, starts & 7)
+    cap += 1
+    bs = starts >> 3                                      # (W,) byte starts
+
+    nonempty = lens > 0
+    widx = jnp.arange(W, dtype=I32)
+    # last non-empty window at-or-before w (-1 if none); previous non-empty
+    last_ne = jax.lax.cummax(jnp.where(nonempty, widx, -1))
+    prev_ne = jnp.concatenate([jnp.full(1, -1, I32), last_ne[:-1]])
+
+    # binary search: last window with byte_start <= j (bs is monotone)
+    j = jnp.arange(out_bytes, dtype=I32)
+    idx = jnp.zeros(out_bytes, I32)
+    k = W >> 1
+    while k >= 1:
+        mid = idx + k
+        ok = jnp.take(bs, jnp.minimum(mid, W - 1)) <= j
+        idx = jnp.where(ok & (mid <= W - 1), mid, idx)
+        k >>= 1
+
+    flat = rows.reshape(-1)
+
+    def contrib(w):
+        col = j - jnp.take(bs, w)
+        val = jnp.take(flat, w * cap + jnp.clip(col, 0, cap - 1))
+        return jnp.where((col >= 0) & (col < cap), val, 0).astype(U8)
+
+    w = jnp.clip(jnp.take(last_ne, idx), 0, W - 1)
+    out = contrib(w)
+    for _ in range(7):
+        w = jnp.clip(jnp.take(prev_ne, w), 0, W - 1)
+        out = out | contrib(w)
+    return out, total
