@@ -70,3 +70,50 @@ def test_crc_table_matches_zlib_single_bytes():
     from zlibng_tpu.checksum.crc32 import crc32
     for b in range(256):
         assert crc32(bytes([b])) == zlib.crc32(bytes([b]))
+
+
+def test_limit_lengths_kraft_exact_regression():
+    """Oversubscribed-tree regression: this frequency vector (captured from
+    lcet10 text at level 1, unit group 23) builds an unlimited Huffman tree
+    of depth 17; the reference-style node-count overflow loop (trees.c
+    gen_bitlen overflow -= 2) under-removes for depth > max_bits+1 and
+    emitted a Kraft-oversubscribed — undecodable — literal/lengths set."""
+    import os
+    import numpy as np
+    from zlibng_tpu.huffman.encode import huffman_code_lengths
+
+    freq = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                                "oversub_freq.npy"))
+    lens = huffman_code_lengths(freq, 15)
+    assert lens.max() <= 15
+    kraft = sum(1 << (15 - int(l)) for l in lens if l)
+    assert kraft == 1 << 15
+
+
+def test_limit_lengths_kraft_exact_stress():
+    """Skewed distributions (fibonacci/zipf) force maximal-depth trees;
+    every limited table must be exactly complete (decodable by inflate)."""
+    import numpy as np
+    from zlibng_tpu.huffman.encode import huffman_code_lengths
+
+    rng = np.random.default_rng(7)
+    for trial in range(400):
+        n = int(rng.integers(2, 286))
+        f = np.zeros(n, np.int64)
+        kind = trial % 3
+        if kind == 0:
+            f[:] = rng.integers(1, 1000, n)
+        elif kind == 1:
+            a, b = 1, 1
+            for i in range(n):
+                f[i] = a
+                a, b = b, min(a + b, 10 ** 12)
+        else:
+            f[:] = rng.zipf(1.2, n).clip(1, 10 ** 9)
+        f[rng.random(n) < 0.3] = 0
+        if (f > 0).sum() < 2:
+            continue
+        lens = huffman_code_lengths(f, 15)
+        assert lens.max() <= 15
+        kraft = sum(1 << (15 - int(l)) for l in lens if l)
+        assert kraft == 1 << 15, trial

@@ -103,19 +103,28 @@ def _limit_lengths(freqs: np.ndarray, lengths: np.ndarray, max_bits: int) -> np.
     """Reference-style overflow adjustment (trees.c gen_bitlen): clamp deep
     codes to max_bits, then move nodes down to restore Kraft equality."""
     lengths = lengths.copy()
-    over = lengths > max_bits
-    overflow = int(over.sum())
-    lengths[over] = max_bits
+    lengths[lengths > max_bits] = max_bits
     bl_count = np.bincount(lengths, minlength=max_bits + 1)
     bl_count[0] = 0
-    while overflow > 0:
+    # Restore Kraft equality exactly: after clamping, the tree is
+    # oversubscribed by K - 2^max_bits units of 2^-max_bits. Each move
+    # (demote one leaf from depth `bits` to bits+1, promote one max-depth
+    # leaf to bits+1) reduces K by exactly one unit. The reference's loop
+    # (trees.c gen_bitlen, overflow -= 2 per move) counts clamped *nodes*
+    # and is only exact when every clamped node sat one level past the
+    # limit; our sorted-merge construction can legally build deeper trees
+    # (observed: depth 17 at max_bits 15), where the node count
+    # under-removes and yields an oversubscribed — undecodable — header.
+    kraft = int((bl_count[1:] << np.arange(max_bits - 1, -1, -1)).sum())
+    target = 1 << max_bits
+    while kraft > target:
         bits = max_bits - 1
         while bl_count[bits] == 0:
             bits -= 1
         bl_count[bits] -= 1
         bl_count[bits + 1] += 2
         bl_count[max_bits] -= 1
-        overflow -= 2
+        kraft -= 1
     # Reassign lengths: symbols sorted by (old length asc, freq desc) get the
     # new length distribution shallow-to-deep (preserves optimality ordering).
     used = np.nonzero(lengths > 0)[0]
