@@ -134,16 +134,14 @@ def test_tpu_default_vs_rle_ordering(corpus):
 
 def test_tpu_tune_good_controls_escalation(corpus):
     """deflateTune's `good` is live on the device path: a higher threshold
-    escalates more positions, so output is never larger, and a degenerate
-    threshold (good<=4 => dense probes only) is valid but weaker."""
-    from zlibng_tpu.stream.deflate import LEVELS, LevelConfig
+    escalates more positions past the dense probe region (chain >
+    DENSE_PROBES=16, the L7-L9 tier), so output is never larger, and a
+    degenerate threshold (good<=4 => dense probes only) is valid but
+    weaker."""
+    from zlibng_tpu.stream.deflate import LevelConfig
     data = corpus["text"]
-    lc = LEVELS[6]
-    lo = compress_tpu(data, 6, tune=LevelConfig(lc.chain, lc.lazy,
-                                                lc.max_lazy, lc.nice, good=4))
-    hi = compress_tpu(data, 6, tune=LevelConfig(lc.chain, lc.lazy,
-                                                lc.max_lazy, lc.nice,
-                                                good=16))
+    lo = compress_tpu(data, 8, tune=LevelConfig(32, True, 64, 258, good=4))
+    hi = compress_tpu(data, 8, tune=LevelConfig(32, True, 64, 258, good=16))
     assert zlib.decompress(lo) == data and zlib.decompress(hi) == data
     assert len(hi) <= len(lo)
     assert len(hi) < len(lo), "good threshold had no effect on text"

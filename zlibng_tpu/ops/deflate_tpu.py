@@ -52,7 +52,12 @@ LANE = LANE_HIST + LANE_BLOCK
 QPL = 4                          # block-choice units (quarters) per lane
 UNIT = LANE_BLOCK // QPL         # 16384: stored/tree choice granule
 HMAX = 704                       # max dynamic-header tokens (worst-case RLE)
-OUT_Q = (1 << 15) + 2048         # per-unit packed output bound (bytes)
+# per-unit packed body bound buckets (bytes): the host computes the EXACT
+# per-unit body bits from the chosen tables (demotion only shrinks) and
+# dispatches the smallest compiled bucket that fits — placement cost in the
+# pack kernel is proportional to the static output size, and typical text
+# units need ~6 KiB of the 30 KiB worst case (16384 literals x 15 bits).
+OUT_BUCKETS = (4096, 8192, 16384, UNIT * 15 // 8 + 8)
 MAX_LANES = 32                   # lanes per device call (2 MiB payload)
 
 I32 = jnp.int32
@@ -91,21 +96,23 @@ def _stage1(lanes, enc_ends, hist_valids, chain, lazy, max_lazy, nice=258,
     return compact, lfreqs, dfreqs
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("out_bytes",))
 def _stage2(lanes, tok_len, tok_dist, sel,
-            hdr_lo, hdr_hi, hdr_nb, llen_tab, lcode_tab, dlen_tab, dcode_tab,
-            eob_mask):
+            llen_tab, lcode_tab, dlen_tab, dcode_tab, out_bytes):
     """Render + pack per UNIT (quarter-lane): every unit is an independent
-    bitstream against its own code tables, so the host can choose
+    BODY bitstream against its own code tables, so the host can choose
     stored/static/dynamic and merge trees at 16 KiB granularity (the
     reference re-trees every sym_buf fill, trees.c FLUSH_BLOCK economics).
+    Block headers and EOB symbols are stitched on the host (they are built
+    there anyway, and keeping the device token count at exactly UNIT avoids
+    padding the pack tree to the next power of two — a 2x cost).
     Table shapes carry a leading (B, QPL) and packing returns (B, QPL, …)."""
     from .lz77_jax import (
         dist_code_arith, dist_extra_arith, length_code_arith,
         length_extra_arith, lookup_via_onehot, onehot_i8,
     )
 
-    def qone(qbytes, tl, td, se, hlo, hhi, hnb, lt, lc, dt, dc, em):
+    def qone(qbytes, tl, td, se, lt, lc, dt, dc):
         tl = tl.astype(I32)
         td = td.astype(I32)
         N = qbytes.shape[0]
@@ -154,26 +161,17 @@ def _stage2(lanes, tok_len, tok_dist, sel,
                        qbytes.astype(I32))
         ds = jnp.where(is_match, dist_code_arith(jnp.maximum(td, 1)), 0)
         lo, hi, nb = render_body_tokens(tl, td, ls, ds, se, lt, lc, dt, dc)
-        # EOB is emitted only on the last unit of a merged block group
-        eob_lo = (lc[256].astype(U32) * em.astype(U32))[None]
-        eob_hi = jnp.zeros(1, U32)
-        eob_nb = (lt[256] * em)[None].astype(I32)
-        lo_all = jnp.concatenate([hlo, lo, eob_lo])
-        hi_all = jnp.concatenate([hhi, hi, eob_hi])
-        nb_all = jnp.concatenate([hnb, nb, eob_nb])
-        return hierarchical_pack(lo_all, hi_all, nb_all, OUT_Q)
+        return hierarchical_pack(lo, hi, nb, out_bytes)
 
-    def one(lane, tl, td, se, hlo, hhi, hnb, lt, lc, dt, dc, em):
+    def one(lane, tl, td, se, lt, lc, dt, dc):
         pay = lane[LANE_HIST:].reshape(QPL, UNIT)
         tlq = tl.astype(I32)[LANE_HIST:].reshape(QPL, UNIT)
         tdq = td.astype(I32)[LANE_HIST:].reshape(QPL, UNIT)
         seq = se[LANE_HIST:].reshape(QPL, UNIT)
-        return jax.vmap(qone)(pay, tlq, tdq, seq, hlo, hhi, hnb,
-                              lt, lc, dt, dc, em)
+        return jax.vmap(qone)(pay, tlq, tdq, seq, lt, lc, dt, dc)
 
     return jax.vmap(one)(lanes, tok_len, tok_dist, sel,
-                         hdr_lo, hdr_hi, hdr_nb,
-                         llen_tab, lcode_tab, dlen_tab, dcode_tab, eob_mask)
+                         llen_tab, lcode_tab, dlen_tab, dcode_tab)
 
 
 # ---------------------------------------------------------------------------
@@ -314,16 +312,15 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
         dfreqs = np.asarray(gm["dfreqs_d"])          # (Bpad, QPL, 30)
 
         # host: per-unit table build + block-type choice + header tokens
-        hdr_lo = np.zeros((Bpad, QPL, HMAX), np.uint32)
-        hdr_hi = np.zeros((Bpad, QPL, HMAX), np.uint32)
-        hdr_nb = np.zeros((Bpad, QPL, HMAX), np.int32)
         llen_tab = np.zeros((Bpad, QPL, 288), np.int32)
         lcode_tab = np.zeros((Bpad, QPL, 288), np.int32)
         dlen_tab = np.zeros((Bpad, QPL, 30), np.int32)
         dcode_tab = np.zeros((Bpad, QPL, 30), np.int32)
-        eob_mask = np.zeros((Bpad, QPL), np.int32)
+        hdr_at: dict[tuple[int, int], list[tuple[int, int]]] = {}
+        eob_at: dict[tuple[int, int], tuple[int, int]] = {}
         stored_mask = np.zeros((Bpad, QPL), bool)
         unit_lens = np.zeros((Bpad, QPL), np.int32)
+        max_body_bits = 0
 
         # unit inventory in stream order (units = 16 KiB block granules)
         units: list[tuple[int, int]] = []
@@ -414,51 +411,68 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                 if stored_bits < best + 3:
                     stored_mask[i, q] = True
                     continue
-            eob_mask[grp[-1]] = 1
             if dyn_bits is not None and dyn_bits < static_bits:
                 tokens = [(int(gfinal) | (2 << 1), 3)] + toks
+                ul_, ud_ = llen, dlen
                 for (i, q) in grp:
                     llen_tab[i, q, :286], lcode_tab[i, q, :286] = llen, lcode
                     dlen_tab[i, q], dcode_tab[i, q] = dlen, dcode
+                eob_at[grp[-1]] = (int(lcode[256]), int(llen[256]))
             else:
                 tokens = [(int(gfinal) | (1 << 1), 3)]
+                ul_, ud_ = FIXED_LIT_LENGTHS[:286], FIXED_DIST_LENGTHS
                 for (i, q) in grp:
                     llen_tab[i, q] = FIXED_LIT_LENGTHS
                     lcode_tab[i, q] = FIXED_LIT_CODES_REV
                     dlen_tab[i, q, :] = FIXED_DIST_LENGTHS
                     dcode_tab[i, q, :] = FIXED_DIST_CODES_REV
-            i0, q0 = grp[0]
-            hdr_lo[i0, q0], hdr_hi[i0, q0], hdr_nb[i0, q0] = \
-                _header_tokens_to_arrays(tokens)
+                eob_at[grp[-1]] = (int(FIXED_LIT_CODES_REV[256]), 7)
+            hdr_at[grp[0]] = tokens
+            # exact per-unit body-bit bound under the chosen tables (stage-2
+            # demotion only shrinks a unit) — drives the pack output bucket
+            for (i, q) in grp:
+                ub = int((lfreqs[i, q] * ul_[:286]).sum()
+                         + (dfreqs[i, q] * ud_).sum()) \
+                    + _extra_cost(lfreqs[i, q].astype(np.int64),
+                                  dfreqs[i, q].astype(np.int64))
+                max_body_bits = max(max_body_bits, ub)
             if _trace_mod.enabled():
                 group_expect.append((list(grp), best + 3))
 
-        with span("deflate stage2 dispatch lanes[%d:%d]", g0, g1):
+        out_bytes = OUT_BUCKETS[-1]
+        for ob in OUT_BUCKETS:
+            if max_body_bits <= (ob - 8) * 8:
+                out_bytes = ob
+                break
+        with span("deflate stage2 dispatch lanes[%d:%d] out=%d", g0, g1,
+                  out_bytes):
             packed, totals = _stage2(
                 lanes_d, outs["tok_len"], outs["tok_dist"],
-                outs["sel"], jnp.asarray(hdr_lo), jnp.asarray(hdr_hi),
-                jnp.asarray(hdr_nb), jnp.asarray(llen_tab),
+                outs["sel"], jnp.asarray(llen_tab),
                 jnp.asarray(lcode_tab), jnp.asarray(dlen_tab),
-                jnp.asarray(dcode_tab), jnp.asarray(eob_mask))
+                jnp.asarray(dcode_tab), out_bytes)
         gm["packed_d"] = packed
         gm["totals_d"] = totals
         gm["stored_mask"] = stored_mask
         gm["unit_lens"] = unit_lens
+        gm["hdr_at"] = hdr_at
+        gm["eob_at"] = eob_at
         gm["group_expect"] = group_expect
         # stage1 intermediates are no longer needed on device
         del gm["outs"], gm["lanes_d"], gm["lfreqs_d"], gm["dfreqs_d"]
 
     def _stitch(gm: dict) -> None:
-        packed = np.asarray(gm["packed_d"])          # (Bpad, QPL, OUT_Q)
+        packed = np.asarray(gm["packed_d"])          # (Bpad, QPL, out_bytes)
         totals = np.asarray(gm["totals_d"])          # (Bpad, QPL)
         stored_mask, unit_lens = gm["stored_mask"], gm["unit_lens"]
+        hdr_at, eob_at = gm["hdr_at"], gm["eob_at"]
         # bits_sent invariant (trees.c:693 analog): predicted bits are an
         # upper bound — stage-2 demotion only shrinks a block
         for grp, expect in gm.get("group_expect", ()):
-            actual = sum(int(totals[i, q]) for i, q in grp
-                         if not stored_mask[i, q])
             if any(stored_mask[i, q] for i, q in grp):
                 continue  # group re-chosen as stored after exact costing
+            actual = sum(int(totals[i, q]) for i, q in grp) \
+                + sum(n for _, n in hdr_at[grp[0]]) + eob_at[grp[-1]][1]
             audit["groups_checked"] += 1
             if actual > expect:
                 audit["bit_overruns"] += 1
@@ -480,7 +494,13 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                     off = LANE_HIST + bi * LANE_BLOCK + q * UNIT
                     stitch.append(vbuf[off:off + ul], ul * 8)
                 else:
+                    hdr = hdr_at.get((i, q))
+                    if hdr is not None:
+                        stitch.append_tokens(hdr)
                     stitch.append(packed[i, q], int(totals[i, q]))
+                    eob = eob_at.get((i, q))
+                    if eob is not None:
+                        stitch.append_tokens([eob])
         del gm["packed_d"], gm["totals_d"]
 
     inflight: list[dict] = []

@@ -49,12 +49,15 @@ def probe_offsets(chain: int) -> tuple[int, ...]:
 # densely over every row; deeper offsets run only for rows that are still
 # "hunting" (best probe < GOOD_L16 bytes), can emit tokens, and actually
 # have a deeper same-hash predecessor — compacted into fixed-size batches.
-# Measured hunting-and-deeper fractions after 4 dense probes: text ~0.50,
-# pdf ~0.05, jpg ~0.01, so the deep-probe cost tracks the data's match
-# density instead of paying chain-16/64 everywhere (the reference's
-# good_length chain-quartering economics, deflate.c:142-168, made batchwise).
-# Ratio cost measured on lcet10 at L6: +0.05% vs all-dense probes.
-DENSE_PROBES = 4
+# Setting the split: a dense pass is pure shifted compares (~19 ms per pass
+# for 32 lanes, measured on-device) while each compacted deep step pays two
+# point-indexed row gathers per batch row; on text (~50% of rows hunting
+# after 4 probes) the gather form measured ~4.7x SLOWER than running the
+# same depths densely. Dense therefore covers every chain the mid levels
+# use (chain <= 16, deflate.c:142-168 tiers), and the compacted loop only
+# serves the deep tail of L7-L9 (chain 32-64), where hunting fractions
+# after 16 dense probes are small enough for compaction to win.
+DENSE_PROBES = 16
 GOOD_L16 = 12
 
 
