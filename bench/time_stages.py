@@ -16,7 +16,8 @@ import jax.numpy as jnp
 
 from zlibng_tpu.ops import lz77_jax as L
 from zlibng_tpu.ops import bitpack_jax as BP
-from zlibng_tpu.ops.deflate_tpu import LANE, HMAX, OUT_MAX
+from zlibng_tpu.ops.deflate_tpu import LANE, HMAX, OUT_BUCKETS
+OUT_MAX = OUT_BUCKETS[-1]
 from zlibng_tpu.format.constants import (
     FIXED_DIST_CODES_REV, FIXED_DIST_LENGTHS, FIXED_LIT_CODES_REV,
     FIXED_LIT_LENGTHS,

@@ -418,32 +418,40 @@ def lookup_via_onehot(oh: jnp.ndarray, tables: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _hist2d(sym: jnp.ndarray, w: jnp.ndarray, hi_bins: int) -> jnp.ndarray:
+    """Weighted histogram of `sym` (..., N) into hi_bins*16 bins as a
+    nibble-factored batched matmul: sym = 16*a + b decomposes the one-hot
+    into (N, hi_bins) x (N, 16) factors, so materialized operands shrink
+    16x vs a full (N, bins) one-hot (37 MB per 128K lane at 288 bins)
+    while the MXU contraction count stays the same. Returns (..., bins)."""
+    a = (sym >> 4).astype(I32)
+    b = (sym & 15).astype(I32)
+    oha = (a[..., None] == jnp.arange(hi_bins, dtype=I32)).astype(jnp.int8)
+    ohb = (b[..., None] == jnp.arange(16, dtype=I32)).astype(jnp.int8)
+    h2 = jnp.einsum("...na,...nb->...ab", oha * w[..., None], ohb,
+                    preferred_element_type=I32)
+    return h2.reshape(*sym.shape[:-1], hi_bins * 16)
+
+
 def lane_freqs(lsym: jnp.ndarray, dsym: jnp.ndarray, sel: jnp.ndarray,
                is_match: jnp.ndarray):
     """Histogram lit/len syms (286) and dist syms (30) for selected tokens —
-    one int8 matmul each (MXU), no scatter-add."""
-    ohl = onehot_i8(lsym, 288)
-    ohd = onehot_i8(dsym, 32)
-    lw = sel.astype(jnp.int8)
-    dw = (sel & is_match).astype(jnp.int8)
-    lfreq = jnp.matmul(lw[None, :], ohl, preferred_element_type=I32)[0]
-    dfreq = jnp.matmul(dw[None, :], ohd, preferred_element_type=I32)[0]
+    nibble-factored MXU matmuls, no scatter-add."""
+    lfreq = _hist2d(lsym, sel.astype(jnp.int8), 18)
+    dfreq = _hist2d(dsym, (sel & is_match).astype(jnp.int8), 2)
     return lfreq[:286], dfreq[:30]
 
 
 def unit_freqs(lsym: jnp.ndarray, dsym: jnp.ndarray, sel: jnp.ndarray,
                is_match: jnp.ndarray, hist: int, unit: int, q: int):
-    """Per-unit token histograms: tokens binned by the unit containing
-    their start position ((pos-hist)//unit). Same one-matmul form as
-    lane_freqs with a (q, N) weight matrix. Returns (q,286), (q,30)."""
-    N = lsym.shape[0]
-    pos = jnp.arange(N, dtype=I32)
-    qid = jnp.clip((pos - hist) // unit, 0, q - 1)
-    qmask = qid[None, :] == jnp.arange(q, dtype=I32)[:, None]       # (q, N)
-    ohl = onehot_i8(lsym, 288)
-    ohd = onehot_i8(dsym, 32)
-    lw = (qmask & sel[None, :]).astype(jnp.int8)
-    dw = (qmask & (sel & is_match)[None, :]).astype(jnp.int8)
-    lfreq = jnp.matmul(lw, ohl, preferred_element_type=I32)
-    dfreq = jnp.matmul(dw, ohd, preferred_element_type=I32)
+    """Per-unit token histograms. Units are contiguous `unit`-byte ranges
+    of the payload (tokens never cross unit boundaries — lz77_lane unit
+    cap), so binning is a reshape to (q, unit) + batched nibble-factored
+    histogram. Returns (q,286), (q,30)."""
+    lsq = lsym[hist:].reshape(q, unit)
+    dsq = dsym[hist:].reshape(q, unit)
+    seq = sel[hist:].reshape(q, unit)
+    imq = (sel & is_match)[hist:].reshape(q, unit)
+    lfreq = _hist2d(lsq, seq.astype(jnp.int8), 18)
+    dfreq = _hist2d(dsq, imq.astype(jnp.int8), 2)
     return lfreq[:, :286], dfreq[:, :30]
