@@ -29,13 +29,13 @@ def render_body_tokens(tok_len, tok_dist, lsym, dsym, sel,
     98K indices are ~1.6 ms each on TPU, the matmul form is ~10x cheaper.
     """
     from .lz77_jax import (
-        dist_extra_arith, length_extra_arith, lookup_via_onehot, onehot_i8,
+        dist_extra_arith, length_extra_arith, lookup2d, lookup_via_onehot,
+        onehot_i8,
     )
 
     is_match = tok_len > 0
-    ohl = onehot_i8(lsym, 288)
     lit_tab = jnp.stack([lit_codes.astype(I32), lit_lens.astype(I32)], axis=1)
-    lr = lookup_via_onehot(ohl, lit_tab)                 # (N, 2)
+    lr = lookup2d(lsym, lit_tab, 18)                     # (N, 2)
     code0 = lr[:, 0].astype(U32)
     n0 = lr[:, 1]
     le, lv = length_extra_arith(jnp.maximum(tok_len, 3))

@@ -109,7 +109,7 @@ def _stage2(lanes, tok_len, tok_dist, sel,
     Table shapes carry a leading (B, QPL) and packing returns (B, QPL, …)."""
     from .lz77_jax import (
         dist_code_arith, dist_extra_arith, length_code_arith,
-        length_extra_arith, lookup_via_onehot, onehot_i8,
+        length_extra_arith, lookup2d, lookup_via_onehot, onehot_i8,
     )
 
     def qone(qbytes, tl, td, se, lt, lc, dt, dc):
@@ -139,8 +139,7 @@ def _stage2(lanes, tok_len, tok_dist, sel,
             onehot_i8(dsm, 32),
             jnp.concatenate([dt, jnp.zeros(2, I32)])[:, None])[:, 0]
         match_bits = lcost + le_ + dcost + de_
-        lit_bits = lookup_via_onehot(onehot_i8(qbytes.astype(I32), 288),
-                                     lt[:, None])[:, 0]
+        lit_bits = lookup2d(qbytes.astype(I32), lt[:, None], 18)[:, 0]
         csum = jnp.cumsum(jnp.stack([lit_bits,
                                      (lit_bits == 0).astype(I32)], axis=1),
                           axis=0)

@@ -159,7 +159,9 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
     w4 = _build_w4(pad)                      # (N + 4*CX + 9,)
 
     if use_probes:
-        h = _hash4(data)
+        # hash of 4 bytes at each position — w4 already holds exactly that
+        # little-endian word (zero-extended tail matches _hash4's)
+        h = ((w4[:N] * U32(HASH_MULT)) >> U32(16)).astype(I32)
 
         # ---- candidates via one stable sort ----------------------------
         # TPU design: all candidate comparisons happen between entries
@@ -416,6 +418,28 @@ def lookup_via_onehot(oh: jnp.ndarray, tables: jnp.ndarray) -> jnp.ndarray:
     for j in range(1, 4):
         out = out | (r[:, j * M:(j + 1) * M] << (4 * j))
     return out
+
+
+def lookup2d(sym: jnp.ndarray, tables: jnp.ndarray, hi_bins: int) -> jnp.ndarray:
+    """Wide-table lookup via the nibble factorization: sym = 16*a + b, one
+    (N, hi_bins) f32 one-hot contracted against the (hi_bins, 16*M) table,
+    then a 16-way masked reduction picks the b column. Exact for values
+    < 2^24 (f32 integer range). vs a (N, bins) one-hot this materializes
+    ~16x less and contracts bins/16 x fewer MACs. Returns (N, M) int32."""
+    bins, M = tables.shape
+    pad = hi_bins * 16 - bins
+    T = jnp.concatenate([tables, jnp.zeros((pad, M), tables.dtype)]) \
+        if pad else tables
+    a = (sym >> 4).astype(I32)
+    b = (sym & 15).astype(I32)
+    oha = (a[:, None] == jnp.arange(hi_bins, dtype=I32)).astype(jnp.float32)
+    # HIGHEST precision: TPU matmuls default to bf16 operands, whose 8-bit
+    # mantissa cannot represent 15-bit table values exactly
+    R = jnp.matmul(oha, T.reshape(hi_bins, 16 * M).astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    R = R.reshape(-1, 16, M)
+    ohb = (b[:, None] == jnp.arange(16, dtype=I32)).astype(jnp.float32)
+    return jnp.sum(R * ohb[:, :, None], axis=1).astype(I32)
 
 
 def _hist2d(sym: jnp.ndarray, w: jnp.ndarray, hi_bins: int) -> jnp.ndarray:
