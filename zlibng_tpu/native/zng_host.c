@@ -708,9 +708,11 @@ static long zng_decode_huff2(const uint8_t *data, long nbytes,
                 bits |= 56;
 
                 int32_t ent = tbl2_look(lt, lroot, hold);
+                long nb, kind;
+              have_ent:
                 if (ent < 0) break;
-                long nb = ent & 15;
-                long kind = ent & 0x30;
+                nb = ent & 15;
+                kind = ent & 0x30;
                 if (kind == 0) {
                     /* literal batch: emit while 15 valid bits remain */
                     hold >>= nb;
@@ -719,7 +721,17 @@ static long zng_decode_huff2(const uint8_t *data, long nbytes,
                     ncodes++;
                     while (bits >= 15) {
                         ent = tbl2_look(lt, lroot, hold);
-                        if (ent < 0 || (ent & 0x30) != 0) break;
+                        if (ent < 0 || (ent & 0x30) != 0) {
+                            /* hand the looked-up non-literal entry straight
+                             * to the match path when enough bits remain for
+                             * its worst case (len 15+5, dist 15+13 = 48) —
+                             * avoids a refill plus duplicate table lookup
+                             * per match (inffast_tpl.h decodes dist in the
+                             * same hold for the same reason) */
+                            if (bits >= 48 && olen + 290 <= out_cap)
+                                goto have_ent;
+                            break;
+                        }
                         out[olen++] = (uint8_t)(ent >> 6);
                         ncodes++;
                         hold >>= (ent & 15);
@@ -778,11 +790,37 @@ static long zng_decode_huff2(const uint8_t *data, long nbytes,
                             src += 8;
                             length -= 8;
                         } while (length > 0);
+                    } else if (dist == 1) {
+                        /* run: 8-byte broadcast stores (chunkmemset_1) */
+                        uint64_t pat = 0x0101010101010101ULL * src[0];
+                        do {
+                            memcpy(dst, &pat, 8);
+                            dst += 8;
+                            length -= 8;
+                        } while (length > 0);
+                    } else if (dist == 2 || dist == 4) {
+                        /* 2/4-periodic: widen to a u64 pattern, store 8B
+                         * chunks (chunkmemset_2/4 broadcast analog) */
+                        uint64_t pat;
+                        if (dist == 2) {
+                            uint16_t p2;
+                            memcpy(&p2, src, 2);
+                            pat = 0x0001000100010001ULL * p2;
+                        } else {
+                            uint32_t p4;
+                            memcpy(&p4, src, 4);
+                            pat = p4 | ((uint64_t)p4 << 32);
+                        }
+                        do {
+                            memcpy(dst, &pat, 8);
+                            dst += 8;
+                            length -= 8;
+                        } while (length > 0);
                     } else {
-                        /* short period: seed one period, then double
-                         * (CHUNKMEMSET pattern-broadcast analog) */
-                        for (long k = 0; k < dist; k++) dst[k] = src[k];
-                        long copied = dist;
+                        /* odd short period (3,5,6,7): seed two periods,
+                         * then grow with power-of-two memcpys */
+                        for (long k = 0; k < 2 * dist; k++) dst[k] = src[k];
+                        long copied = 2 * dist;
                         while (copied < length) {
                             long c = copied < length - copied
                                          ? copied : length - copied;
@@ -963,7 +1001,9 @@ long zng_inflate_stream(const uint8_t *data, long nbytes, long *bitpos_io,
             if (r == 1) { bp = save; ret = finish ? -5 : 1; break; }
             if (r < 0) { ret = r; break; }
             int lr, dr;
-            if (zng_build_tbl2(lengths, hlit, 11, lit_tbl, lit_cap,
+            /* root 10 (inflate.c:904): vs 11 the halved per-block build
+             * cost wins ~2.5% on text (measured, bench/microdec.c) */
+            if (zng_build_tbl2(lengths, hlit, 10, lit_tbl, lit_cap,
                                &lr, 0) < 0
                 || zng_build_tbl2(lengths + hlit, hdist, 10, dist_tbl,
                                   dist_cap, &dr, 1) < 0) {
