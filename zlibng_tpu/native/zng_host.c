@@ -109,7 +109,7 @@ void zng_crc_init(void) {
     crc_ready = 1;
 }
 
-uint32_t zng_crc32(const uint8_t *buf, long n, uint32_t crc) {
+static uint32_t zng_crc32_s8(const uint8_t *buf, long n, uint32_t crc) {
     if (!crc_ready) zng_crc_init();
     crc = ~crc;
     while (n && ((uintptr_t)buf & 7)) {
@@ -128,6 +128,144 @@ uint32_t zng_crc32(const uint8_t *buf, long n, uint32_t crc) {
     }
     while (n--) crc = (crc >> 8) ^ crc_tab[0][(crc ^ *buf++) & 0xFF];
     return ~crc;
+}
+
+/* ---- CRC-32 via carry-less multiply folding (crc32_pclmulqdq_tpl.h:40-70
+ * concept: fold 64 input bytes per iteration through x^512 multiples).
+ * The fold constants are GENERATED at init from the polynomial with plain
+ * GF(2) arithmetic (x^n mod P, mirroring tools/makecrct.c's
+ * generate-don't-transcribe ethos), and the engine self-tests against the
+ * table implementation before being selected — a wrong constant can never
+ * ship a wrong checksum. */
+#if defined(__PCLMUL__) && defined(__SSE4_1__)
+#include <wmmintrin.h>
+#include <smmintrin.h>
+
+/* x^(n) mod P (bit-reflected convention): constants for the reflected
+ * fold are bitrev33(x^(n) mod P) = computed directly in the reflected
+ * domain: r' = (r >> 1) ^ (P_reflected & -(r & 1)) steps x -> x^2... Use
+ * the forward domain and reflect at the end. */
+static uint64_t zng_xnmodp(long n) {         /* forward: x^n mod P, P 33-bit */
+    const uint64_t poly = 0x104C11DB7ULL;    /* forward CRC-32 polynomial */
+    uint64_t r = 1;                          /* x^0 */
+    while (n--) {
+        int hi = (r >> 31) & 1;
+        r = (r << 1) & 0xFFFFFFFFULL;
+        if (hi) r ^= (poly & 0xFFFFFFFFULL);
+    }
+    return r;
+}
+
+static uint64_t zng_brev33(uint64_t x, int width) {
+    uint64_t r = 0;
+    for (int i = 0; i < width; i++)
+        if ((x >> i) & 1) r |= 1ULL << (width - 1 - i);
+    return r;
+}
+
+/* reflected-domain fold constant for shifting data m bits forward,
+ * UNREDUCED: K(m) = brev32(x^(m+32) mod P) << 1 — the +32 embeds the CRC
+ * state register, the <<1 compensates clmul's reversed bit order. The
+ * callers below pass m+32 directly. Verified empirically against the
+ * byte-serial recurrence (and the published Intel constants: K(512+32) =
+ * 0x154442bd4 etc). */
+static uint64_t zng_kconst(long n) {
+    return zng_brev33(zng_xnmodp(n), 32) << 1;
+}
+
+static __m128i K512, K128;           /* 512/128-bit-shift fold constants */
+static int pclmul_state = 0;         /* 0 untested, 1 ok, -1 unusable */
+
+__attribute__((target("pclmul,sse4.1")))
+static void zng_pclmul_init_consts(void) {
+    /* a qword m BYTES before its fold target uses K(8m): low qword of a
+     * 16-byte lane is 8 lanes x 8 bytes = 64 bytes back -> K(512), the
+     * high qword 56 bytes -> K(448); for the 4->1 lane folds 16/8 bytes
+     * -> K(128)/K(64) */
+    K512 = _mm_set_epi64x((long long)zng_kconst(448 + 32),
+                          (long long)zng_kconst(512 + 32));
+    K128 = _mm_set_epi64x((long long)zng_kconst(64 + 32),
+                          (long long)zng_kconst(128 + 32));
+}
+
+__attribute__((target("pclmul,sse4.1")))
+static uint32_t zng_crc32_clmul(const uint8_t *buf, long n, uint32_t crc) {
+    __m128i x0, x1, x2, x3;
+    x0 = _mm_loadu_si128((const __m128i *)(buf + 0));
+    x1 = _mm_loadu_si128((const __m128i *)(buf + 16));
+    x2 = _mm_loadu_si128((const __m128i *)(buf + 32));
+    x3 = _mm_loadu_si128((const __m128i *)(buf + 48));
+    x0 = _mm_xor_si128(x0, _mm_cvtsi32_si128((int)~crc));
+    buf += 64; n -= 64;
+    while (n >= 64) {
+        __m128i y0 = _mm_loadu_si128((const __m128i *)(buf + 0));
+        __m128i y1 = _mm_loadu_si128((const __m128i *)(buf + 16));
+        __m128i y2 = _mm_loadu_si128((const __m128i *)(buf + 32));
+        __m128i y3 = _mm_loadu_si128((const __m128i *)(buf + 48));
+        x0 = _mm_xor_si128(_mm_xor_si128(
+                 _mm_clmulepi64_si128(x0, K512, 0x00),
+                 _mm_clmulepi64_si128(x0, K512, 0x11)), y0);
+        x1 = _mm_xor_si128(_mm_xor_si128(
+                 _mm_clmulepi64_si128(x1, K512, 0x00),
+                 _mm_clmulepi64_si128(x1, K512, 0x11)), y1);
+        x2 = _mm_xor_si128(_mm_xor_si128(
+                 _mm_clmulepi64_si128(x2, K512, 0x00),
+                 _mm_clmulepi64_si128(x2, K512, 0x11)), y2);
+        x3 = _mm_xor_si128(_mm_xor_si128(
+                 _mm_clmulepi64_si128(x3, K512, 0x00),
+                 _mm_clmulepi64_si128(x3, K512, 0x11)), y3);
+        buf += 64; n -= 64;
+    }
+    /* fold 4 lanes -> 1 (shift by 128 bits each) */
+    x1 = _mm_xor_si128(_mm_xor_si128(
+             _mm_clmulepi64_si128(x0, K128, 0x00),
+             _mm_clmulepi64_si128(x0, K128, 0x11)), x1);
+    x2 = _mm_xor_si128(_mm_xor_si128(
+             _mm_clmulepi64_si128(x1, K128, 0x00),
+             _mm_clmulepi64_si128(x1, K128, 0x11)), x2);
+    x3 = _mm_xor_si128(_mm_xor_si128(
+             _mm_clmulepi64_si128(x2, K128, 0x00),
+             _mm_clmulepi64_si128(x2, K128, 0x11)), x3);
+    /* every fold preserves walk-equivalence with MATCHED byte counts
+     * (an unreduced product spans <= 13 bytes, always inside the folded
+     * target), so the final lane is simply a 16-byte stream whose
+     * byte-serial walk equals the whole prefix's — finish with 16 table
+     * steps plus the tail. No Barrett reduction needed. */
+    uint8_t rem[16];
+    _mm_storeu_si128((__m128i *)rem, x3);
+    uint32_t c = 0;
+    for (int k = 0; k < 16; k++)
+        c = (c >> 8) ^ crc_tab[0][(c ^ rem[k]) & 0xFF];
+    while (n--) c = (c >> 8) ^ crc_tab[0][(c ^ *buf++) & 0xFF];
+    return ~c;
+}
+
+__attribute__((target("pclmul,sse4.1")))
+static int zng_pclmul_selftest(void) {
+    uint8_t v[257];
+    for (int i = 0; i < 257; i++) v[i] = (uint8_t)(i * 131 + 7);
+    for (long len = 64; len <= 257; len += 63) {
+        uint32_t a = zng_crc32_s8(v, len, 0);
+        uint32_t b = zng_crc32_clmul(v, len, 0);
+        if (a != b) return 0;
+    }
+    return 1;
+}
+#endif
+
+uint32_t zng_crc32(const uint8_t *buf, long n, uint32_t crc) {
+    if (!crc_ready) zng_crc_init();
+#if defined(__PCLMUL__) && defined(__SSE4_1__)
+    if (n >= 128) {
+        if (pclmul_state == 0) {
+            zng_pclmul_init_consts();
+            pclmul_state = zng_pclmul_selftest() ? 1 : -1;
+        }
+        if (pclmul_state == 1)
+            return zng_crc32_clmul(buf, n, crc);
+    }
+#endif
+    return zng_crc32_s8(buf, n, crc);
 }
 
 /* ---- canonical-code flat LUT fill (inftrees.c table build analog) ----

@@ -87,9 +87,15 @@ def _bitshift_bytes(rows: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
 
 
 def hierarchical_pack(lo: jnp.ndarray, hi: jnp.ndarray, nbits: jnp.ndarray,
-                      out_bytes: int):
+                      out_bytes: int, max_cover: int = 8):
     """Pack (lo, hi, nbits) token arrays (T must be a power of two; pad with
     zero-bit tokens) into one LSB-first byte stream.
+
+    max_cover bounds how many non-empty windows can overlap one output
+    byte: every non-empty window carries >= minlen bits (the smallest
+    code length of the tables in play), so 1 + ceil(7/minlen) suffices —
+    the caller can shrink the placement's gather rounds from the
+    degenerate-worst 8 to the typical 3 when it knows the tables.
 
     Returns (bytes (out_bytes,) uint8, total_bits ()).
     """
@@ -136,10 +142,11 @@ def hierarchical_pack(lo: jnp.ndarray, hi: jnp.ndarray, nbits: jnp.ndarray,
                 [out, jnp.zeros(out_bytes - out.shape[0], U8)])
         return out[:out_bytes], total
 
-    return _place_windows(byte_rows, lens, out_bytes)
+    return _place_windows(byte_rows, lens, out_bytes, max_cover)
 
 
-def _place_windows(rows: jnp.ndarray, lens: jnp.ndarray, out_bytes: int):
+def _place_windows(rows: jnp.ndarray, lens: jnp.ndarray, out_bytes: int,
+                   max_cover: int = 8):
     """Assemble W window byte-rows (bit lengths `lens`) into one stream.
 
     Each row is bit-shifted to its global intra-byte phase, then every
@@ -183,7 +190,7 @@ def _place_windows(rows: jnp.ndarray, lens: jnp.ndarray, out_bytes: int):
 
     w = jnp.clip(jnp.take(last_ne, idx), 0, W - 1)
     out = contrib(w)
-    for _ in range(7):
+    for _ in range(max_cover - 1):
         w = jnp.clip(jnp.take(prev_ne, w), 0, W - 1)
         out = out | contrib(w)
     return out, total

@@ -96,9 +96,10 @@ def _stage1(lanes, enc_ends, hist_valids, chain, lazy, max_lazy, nice=258,
     return compact, lfreqs, dfreqs
 
 
-@functools.partial(jax.jit, static_argnames=("out_bytes",))
+@functools.partial(jax.jit, static_argnames=("out_bytes", "max_cover"))
 def _stage2(lanes, tok_len, tok_dist, sel,
-            llen_tab, lcode_tab, dlen_tab, dcode_tab, out_bytes):
+            llen_tab, lcode_tab, dlen_tab, dcode_tab, out_bytes,
+            max_cover=8):
     """Render + pack per UNIT (quarter-lane): every unit is an independent
     BODY bitstream against its own code tables, so the host can choose
     stored/static/dynamic and merge trees at 16 KiB granularity (the
@@ -160,7 +161,7 @@ def _stage2(lanes, tok_len, tok_dist, sel,
                        qbytes.astype(I32))
         ds = jnp.where(is_match, dist_code_arith(jnp.maximum(td, 1)), 0)
         lo, hi, nb = render_body_tokens(tl, td, ls, ds, se, lt, lc, dt, dc)
-        return hierarchical_pack(lo, hi, nb, out_bytes)
+        return hierarchical_pack(lo, hi, nb, out_bytes, max_cover)
 
     def one(lane, tl, td, se, lt, lc, dt, dc):
         pay = lane[LANE_HIST:].reshape(QPL, UNIT)
@@ -320,6 +321,7 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
         stored_mask = np.zeros((Bpad, QPL), bool)
         unit_lens = np.zeros((Bpad, QPL), np.int32)
         max_body_bits = 0
+        min_code_len = 15  # over all assigned tables: drives pack max_cover
 
         # unit inventory in stream order (units = 16 KiB block granules)
         units: list[tuple[int, int]] = []
@@ -417,6 +419,12 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                     llen_tab[i, q, :286], lcode_tab[i, q, :286] = llen, lcode
                     dlen_tab[i, q], dcode_tab[i, q] = dlen, dcode
                 eob_at[grp[-1]] = (int(lcode[256]), int(llen[256]))
+                nz = llen[llen > 0]
+                if nz.size:
+                    min_code_len = min(min_code_len, int(nz.min()))
+                nz = dlen[dlen > 0]
+                if nz.size:
+                    min_code_len = min(min_code_len, int(nz.min()))
             else:
                 tokens = [(int(gfinal) | (1 << 1), 3)]
                 ul_, ud_ = FIXED_LIT_LENGTHS[:286], FIXED_DIST_LENGTHS
@@ -426,6 +434,7 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                     dlen_tab[i, q, :] = FIXED_DIST_LENGTHS
                     dcode_tab[i, q, :] = FIXED_DIST_CODES_REV
                 eob_at[grp[-1]] = (int(FIXED_LIT_CODES_REV[256]), 7)
+                min_code_len = min(min_code_len, 5)  # fixed dist codes
             hdr_at[grp[0]] = tokens
             # exact per-unit body-bit bound under the chosen tables (stage-2
             # demotion only shrinks a unit) — drives the pack output bucket
@@ -443,13 +452,16 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
             if max_body_bits <= (ob - 8) * 8:
                 out_bytes = ob
                 break
-        with span("deflate stage2 dispatch lanes[%d:%d] out=%d", g0, g1,
-                  out_bytes):
+        # a byte is covered by at most 1 + ceil(7/minlen) non-empty windows
+        need_cover = 1 + -(-7 // max(1, min_code_len))
+        max_cover = next(c for c in (3, 5, 8) if c >= need_cover)
+        with span("deflate stage2 dispatch lanes[%d:%d] out=%d cover=%d",
+                  g0, g1, out_bytes, max_cover):
             packed, totals = _stage2(
                 lanes_d, outs["tok_len"], outs["tok_dist"],
                 outs["sel"], jnp.asarray(llen_tab),
                 jnp.asarray(lcode_tab), jnp.asarray(dlen_tab),
-                jnp.asarray(dcode_tab), out_bytes)
+                jnp.asarray(dcode_tab), out_bytes, max_cover)
         gm["packed_d"] = packed
         gm["totals_d"] = totals
         gm["stored_mask"] = stored_mask
