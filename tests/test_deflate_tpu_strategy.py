@@ -145,3 +145,17 @@ def test_tpu_tune_good_controls_escalation(corpus):
     assert zlib.decompress(lo) == data and zlib.decompress(hi) == data
     assert len(hi) <= len(lo)
     assert len(hi) < len(lo), "good threshold had no effect on text"
+
+
+def test_tpu_full_lane_payload_roundtrip(corpus):
+    """Regression: candidate positions are packed as (l16 << pos_bits) |
+    cand, and pos_bits was hardcoded to 17 — any lane with more than 2^17
+    positions (history + payload) silently corrupted every match past
+    byte 98304 of the payload. Exercise payload lengths straddling a full
+    lane at each level tier."""
+    from zlibng_tpu.ops.deflate_tpu import LANE_BLOCK
+
+    data = (corpus["text"] * 3)[: LANE_BLOCK + 4096]
+    for lvl in (1, 6):
+        c = compress_tpu(data, lvl)
+        assert zlib.decompress(c) == data, lvl

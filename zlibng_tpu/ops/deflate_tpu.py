@@ -47,9 +47,12 @@ from .bitpack_merge import hierarchical_pack
 from .lz77_jax import lane_freqs, lz77_lane
 
 LANE_HIST = WINDOW_SIZE          # 32768
-LANE_BLOCK = 1 << 16             # 65536 payload bytes per lane
+# 128K payload per lane: the 32K history prefix is probed/hashed/sorted
+# but never emits, so a bigger payload cuts that overhead from 33% to 20%
+# of lane positions (measured win on the tunnel device)
+LANE_BLOCK = 1 << 17
 LANE = LANE_HIST + LANE_BLOCK
-QPL = 4                          # block-choice units (quarters) per lane
+QPL = 8                          # block-choice units per lane (16K each)
 UNIT = LANE_BLOCK // QPL         # 16384: stored/tree choice granule
 HMAX = 704                       # max dynamic-header tokens (worst-case RLE)
 # per-unit packed body bound buckets (bytes): the host computes the EXACT
@@ -58,7 +61,7 @@ HMAX = 704                       # max dynamic-header tokens (worst-case RLE)
 # pack kernel is proportional to the static output size, and typical text
 # units need ~6 KiB of the 30 KiB worst case (16384 literals x 15 bits).
 OUT_BUCKETS = (4096, 8192, 16384, UNIT * 15 // 8 + 8)
-MAX_LANES = 32                   # lanes per device call (2 MiB payload)
+MAX_LANES = 16                   # lanes per device call (2 MiB payload)
 
 I32 = jnp.int32
 U32 = jnp.uint32

@@ -261,15 +261,17 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
                 (jnp.int32(0), best_score, best_cand_s))
 
         # pack (valid, l16, cand), map back to position order with ONE
-        # gather (cand < LANE < 2^17, l16 <= 16 -> 5 bits; -1 = none)
+        # gather (cand < N needs pos_bits bits, l16 <= 16 -> 5 more; -1 =
+        # none; 5 + pos_bits must stay < 31)
+        pos_bits = max(17, (N - 1).bit_length())
         valid_s = best_score > NEG
         l16_s = (best_score + (pos_s - best_cand_s)) >> 20   # probe length
-        packed_s = jnp.where(valid_s, (l16_s << 17) | best_cand_s,
+        packed_s = jnp.where(valid_s, (l16_s << pos_bits) | best_cand_s,
                              jnp.int32(-1))
         packed = packed_s[inv]                               # point gather
         has_cand = packed >= 0
-        best_cand = jnp.where(has_cand, packed & 0x1FFFF, 0)
-        l16 = jnp.where(has_cand, packed >> 17, 0)
+        best_cand = jnp.where(has_cand, packed & ((1 << pos_bits) - 1), 0)
+        l16 = jnp.where(has_cand, packed >> pos_bits, 0)
         best_dist = jnp.where(has_cand, pos - best_cand, 0)
     else:
         has_cand = jnp.zeros(N, bool)
