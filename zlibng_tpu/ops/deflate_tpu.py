@@ -47,13 +47,17 @@ from .bitpack_merge import hierarchical_pack
 from .lz77_jax import lane_freqs, lz77_lane
 
 LANE_HIST = WINDOW_SIZE          # 32768
-# 128K payload per lane: the 32K history prefix is probed/hashed/sorted
-# but never emits, so a bigger payload cuts that overhead from 33% to 20%
-# of lane positions (measured win on the tunnel device)
-LANE_BLOCK = 1 << 17
+# Payload-size buckets for one lane. The 32K history prefix (and any zero
+# tail padding) is hashed/sorted/probed but never emits, so bigger lanes
+# amortize that overhead (33% of positions at 64K payload, 11% at 256K —
+# measured +30% encode throughput going 64K -> 128K on the tunnel device);
+# small inputs stay on small lanes to keep latency proportional to size.
+# (256K lanes measured ~10% slower than 128K on-device — sort depth and
+# tail padding outweigh the smaller history share — so 128K is the cap)
+LANE_BLOCKS = (1 << 16, 1 << 17)
+LANE_BLOCK = LANE_BLOCKS[-1]     # default/maximum payload per lane
 LANE = LANE_HIST + LANE_BLOCK
-QPL = 8                          # block-choice units per lane (16K each)
-UNIT = LANE_BLOCK // QPL         # 16384: stored/tree choice granule
+UNIT = 1 << 14                   # 16384: stored/tree choice granule
 HMAX = 704                       # max dynamic-header tokens (worst-case RLE)
 # per-unit packed body bound buckets (bytes): the host computes the EXACT
 # per-unit body bits from the chosen tables (demotion only shrinks) and
@@ -61,7 +65,6 @@ HMAX = 704                       # max dynamic-header tokens (worst-case RLE)
 # pack kernel is proportional to the static output size, and typical text
 # units need ~6 KiB of the 30 KiB worst case (16384 literals x 15 bits).
 OUT_BUCKETS = (4096, 8192, 16384, UNIT * 15 // 8 + 8)
-MAX_LANES = 16                   # lanes per device call (2 MiB payload)
 
 I32 = jnp.int32
 U32 = jnp.uint32
@@ -84,11 +87,12 @@ def _stage1(lanes, enc_ends, hist_valids, chain, lazy, max_lazy, nice=258,
 
     core = jax.vmap(one)(lanes, enc_ends, hist_valids)
     B = lanes.shape[0]
+    qpl = (lanes.shape[1] - LANE_HIST) // UNIT   # units per lane, from shape
     bounds = jnp.stack([jnp.full(B, LANE_HIST, jnp.int32), enc_ends], axis=1)
     sel = parse_select(core["step"], bounds)
     outs = finalize_tokens(lanes, core, sel)
     lfreqs, dfreqs = jax.vmap(
-        lambda ls, ds, se, m: unit_freqs(ls, ds, se, m, LANE_HIST, UNIT, QPL)
+        lambda ls, ds, se, m: unit_freqs(ls, ds, se, m, LANE_HIST, UNIT, qpl)
     )(outs["lsym"], outs["dsym"], outs["sel"], outs["tok_len"] > 0)
     # compact the cross-dispatch token arrays: materializing stage outputs
     # costs real HBM bandwidth, and lsym/dsym are recomputable arithmetic
@@ -167,10 +171,11 @@ def _stage2(lanes, tok_len, tok_dist, sel,
         return hierarchical_pack(lo, hi, nb, out_bytes, max_cover)
 
     def one(lane, tl, td, se, lt, lc, dt, dc):
-        pay = lane[LANE_HIST:].reshape(QPL, UNIT)
-        tlq = tl.astype(I32)[LANE_HIST:].reshape(QPL, UNIT)
-        tdq = td.astype(I32)[LANE_HIST:].reshape(QPL, UNIT)
-        seq = se[LANE_HIST:].reshape(QPL, UNIT)
+        qpl = (lane.shape[0] - LANE_HIST) // UNIT
+        pay = lane[LANE_HIST:].reshape(qpl, UNIT)
+        tlq = tl.astype(I32)[LANE_HIST:].reshape(qpl, UNIT)
+        tdq = td.astype(I32)[LANE_HIST:].reshape(qpl, UNIT)
+        seq = se[LANE_HIST:].reshape(qpl, UNIT)
         return jax.vmap(qone)(pay, tlq, tdq, seq, lt, lc, dt, dc)
 
     return jax.vmap(one)(lanes, tok_len, tok_dist, sel,
@@ -267,18 +272,29 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
     the deflateTune seam (deflate.c:679-690) for the device path."""
     n = buf.size
     lc = tune if tune is not None else LEVELS[max(1, min(9, level))]
-    nblocks = max(1, -(-n // LANE_BLOCK))
+    # lane geometry by input size: big lanes amortize the 32K history
+    # prefix (and zero tail padding is processed just like history), so
+    # pick the bucket minimizing total processed positions; ties favor
+    # bigger lanes (fewer dispatches). Small inputs stay on small lanes —
+    # a 5 KB payload must not pay a 288K-position lane.
+    lane_block = min(
+        LANE_BLOCKS, key=lambda lb: (-(-n // lb) * (lb + LANE_HIST),
+                                     -lb))
+    lane = LANE_HIST + lane_block
+    qpl = lane_block // UNIT
+    max_lanes = max(1, (1 << 21) // lane_block)  # ~2 MiB payload per call
+    nblocks = max(1, -(-n // lane_block))
 
     # virtual buffer with 32K zero/dict prefix so every lane slices uniformly
     d = np.frombuffer(memoryview(bytes(dictionary)), np.uint8)[-LANE_HIST:] \
         if dictionary else np.zeros(0, np.uint8)
     prefix = np.concatenate([np.zeros(LANE_HIST - d.size, np.uint8), d])
-    tail_pad = np.zeros(nblocks * LANE_BLOCK - n, np.uint8)
+    tail_pad = np.zeros(nblocks * lane_block - n, np.uint8)
     vbuf = np.concatenate([prefix, buf, tail_pad])
     first_hist_valid = LANE_HIST - d.size
 
     stitch = _BitStitcher()
-    lane_starts = [bi * LANE_BLOCK for bi in range(nblocks)]
+    lane_starts = [bi * lane_block for bi in range(nblocks)]
 
     # Software pipeline over lane groups: stage1 dispatches are queued ahead
     # so host work (freq fetch, Huffman tree build, stitching) overlaps with
@@ -286,16 +302,16 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
     DEPTH = 3
 
     def _dispatch_stage1(g0: int) -> dict:
-        g1 = min(g0 + MAX_LANES, nblocks)
+        g1 = min(g0 + max_lanes, nblocks)
         B = g1 - g0
         Bpad = 1 << (B - 1).bit_length()  # bucket to limit recompiles
-        lanes = np.zeros((Bpad, LANE), np.uint8)
+        lanes = np.zeros((Bpad, lane), np.uint8)
         enc_ends = np.full(Bpad, LANE_HIST, np.int32)
         hist_valids = np.zeros(Bpad, np.int32)
         for i, bi in enumerate(range(g0, g1)):
             s = lane_starts[bi]
-            lanes[i] = vbuf[s:s + LANE]
-            enc_ends[i] = LANE_HIST + min(LANE_BLOCK, n - bi * LANE_BLOCK)
+            lanes[i] = vbuf[s:s + lane]
+            enc_ends[i] = LANE_HIST + min(lane_block, n - bi * lane_block)
             hist_valids[i] = first_hist_valid if bi == 0 else 0
         lanes_d = jnp.asarray(lanes)
         with span("deflate stage1 dispatch lanes[%d:%d] Bpad=%d", g0, g1,
@@ -311,18 +327,18 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
     def _dispatch_stage2(gm: dict) -> None:
         g0, g1, B, Bpad = gm["g0"], gm["g1"], gm["B"], gm["Bpad"]
         enc_ends, outs, lanes_d = gm["enc_ends"], gm["outs"], gm["lanes_d"]
-        lfreqs = np.asarray(gm["lfreqs_d"])          # (Bpad, QPL, 286)
-        dfreqs = np.asarray(gm["dfreqs_d"])          # (Bpad, QPL, 30)
+        lfreqs = np.asarray(gm["lfreqs_d"])          # (Bpad, qpl, 286)
+        dfreqs = np.asarray(gm["dfreqs_d"])          # (Bpad, qpl, 30)
 
         # host: per-unit table build + block-type choice + header tokens
-        llen_tab = np.zeros((Bpad, QPL, 288), np.int32)
-        lcode_tab = np.zeros((Bpad, QPL, 288), np.int32)
-        dlen_tab = np.zeros((Bpad, QPL, 30), np.int32)
-        dcode_tab = np.zeros((Bpad, QPL, 30), np.int32)
+        llen_tab = np.zeros((Bpad, qpl, 288), np.int32)
+        lcode_tab = np.zeros((Bpad, qpl, 288), np.int32)
+        dlen_tab = np.zeros((Bpad, qpl, 30), np.int32)
+        dcode_tab = np.zeros((Bpad, qpl, 30), np.int32)
         hdr_at: dict[tuple[int, int], list[tuple[int, int]]] = {}
         eob_at: dict[tuple[int, int], tuple[int, int]] = {}
-        stored_mask = np.zeros((Bpad, QPL), bool)
-        unit_lens = np.zeros((Bpad, QPL), np.int32)
+        stored_mask = np.zeros((Bpad, qpl), bool)
+        unit_lens = np.zeros((Bpad, qpl), np.int32)
         max_body_bits = 0
         min_code_len = 15  # over all assigned tables: drives pack max_cover
 
@@ -330,7 +346,7 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
         units: list[tuple[int, int]] = []
         for i, bi in enumerate(range(g0, g1)):
             blen = int(enc_ends[i]) - LANE_HIST
-            for q in range(QPL):
+            for q in range(qpl):
                 ul = max(0, min(UNIT, blen - q * UNIT))
                 unit_lens[i, q] = ul
                 if ul > 0:
@@ -476,8 +492,8 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
         del gm["outs"], gm["lanes_d"], gm["lfreqs_d"], gm["dfreqs_d"]
 
     def _stitch(gm: dict) -> None:
-        packed = np.asarray(gm["packed_d"])          # (Bpad, QPL, out_bytes)
-        totals = np.asarray(gm["totals_d"])          # (Bpad, QPL)
+        packed = np.asarray(gm["packed_d"])          # (Bpad, qpl, out_bytes)
+        totals = np.asarray(gm["totals_d"])          # (Bpad, qpl)
         stored_mask, unit_lens = gm["stored_mask"], gm["unit_lens"]
         hdr_at, eob_at = gm["hdr_at"], gm["eob_at"]
         # bits_sent invariant (trees.c:693 analog): predicted bits are an
@@ -495,7 +511,7 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                   " OVERRUN" if actual > expect else "")
         for i, bi in enumerate(range(gm["g0"], gm["g1"])):
             blen = int(gm["enc_ends"][i]) - LANE_HIST
-            for q in range(QPL):
+            for q in range(qpl):
                 ul = int(unit_lens[i, q])
                 if ul == 0:
                     continue
@@ -505,7 +521,7 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                     stitch.append_tokens([
                         (int(final), 1), (0, 2), (0, pad),
                         (ul, 16), (~ul & 0xFFFF, 16)])
-                    off = LANE_HIST + bi * LANE_BLOCK + q * UNIT
+                    off = LANE_HIST + bi * lane_block + q * UNIT
                     stitch.append(vbuf[off:off + ul], ul * 8)
                 else:
                     hdr = hdr_at.get((i, q))
@@ -519,7 +535,7 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
 
     inflight: list[dict] = []
     done: list[dict] = []
-    for g0 in range(0, nblocks, MAX_LANES):
+    for g0 in range(0, nblocks, max_lanes):
         inflight.append(_dispatch_stage1(g0))
         if len(inflight) >= DEPTH:
             gm = inflight.pop(0)
