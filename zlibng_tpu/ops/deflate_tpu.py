@@ -3,9 +3,9 @@
 Orchestration (DFLTCC-style accelerator seam, SURVEY §2.9/§5: hand whole
 blocks to the accelerator, keep the zlib framing contract):
 
-  host:   slice input into 64 KiB payload lanes, each with the previous
-          32 KiB as read-only history (cross-block window ⇒ same reach as
-          the reference's sliding window)
+  host:   slice input into payload lanes (64-128 KiB, size-bucketed), each
+          with the previous 32 KiB as read-only history (cross-block
+          window ⇒ same reach as the reference's sliding window)
   device: stage 1 — hash/candidates/extension/lazy-parse per lane (vmapped),
           symbol histograms via one-hot MXU matmuls        [ops/lz77_jax.py]
   host:   per-lane Huffman tables + dynamic header descriptor + block-type
