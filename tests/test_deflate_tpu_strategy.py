@@ -152,10 +152,22 @@ def test_tpu_full_lane_payload_roundtrip(corpus):
     cand, and pos_bits was hardcoded to 17 — any lane with more than 2^17
     positions (history + payload) silently corrupted every match past
     byte 98304 of the payload. Exercise payload lengths straddling a full
-    lane at each level tier."""
-    from zlibng_tpu.ops.deflate_tpu import LANE_BLOCK
+    lane at each level tier.
 
-    data = (corpus["text"] * 3)[: LANE_BLOCK + 4096]
+    The payload size must actually SELECT the 128 KiB lane bucket: the
+    size-bucket chooser minimizes processed positions, and LANE_BLOCK+4096
+    lands in the 64 KiB bucket (3 x 98304 < 2 x 163840 positions), where
+    pos_bits stays 17 and the old bug is invisible. 2*LANE_BLOCK+4096
+    selects 128 KiB lanes (3 x 163840 < 5 x 98304), so lanes exceed 2^17
+    positions and pos_bits must widen to 18."""
+    from zlibng_tpu.ops.deflate_tpu import LANE_BLOCK, LANE_HIST, LANE_BLOCKS
+
+    n = 2 * LANE_BLOCK + 4096
+    # pin the bucket selection itself: the chooser must pick the max lane
+    picked = min(LANE_BLOCKS, key=lambda lb: (-(-n // lb) * (lb + LANE_HIST),
+                                              -lb))
+    assert picked == LANE_BLOCK, "payload no longer selects 128 KiB lanes"
+    data = (corpus["text"] * 9)[:n]
     for lvl in (1, 6):
         c = compress_tpu(data, lvl)
         assert zlib.decompress(c) == data, lvl

@@ -17,6 +17,7 @@
  */
 #include <stdint.h>
 #include <string.h>
+#include <pthread.h>
 
 #define ADLER_BASE 65521u
 #define ADLER_NMAX 5552
@@ -93,9 +94,17 @@ uint32_t zng_adler32(const uint8_t *buf, long n, uint32_t adler) {
 /* ---- CRC-32 (gzip polynomial 0xEDB88320), slicing-by-8 ---- */
 static uint32_t crc_tab[8][256];
 static int crc_ready = 0;
+static pthread_once_t crc_once = PTHREAD_ONCE_INIT;
 
-void zng_crc_init(void) {
-    if (crc_ready) return;
+#if defined(__PCLMUL__) && defined(__SSE4_1__)
+static void zng_pclmul_setup(void);   /* defined with the PCLMUL kernels */
+#endif
+
+/* All CRC setup — slicing tables, PCLMUL fold constants, and the PCLMUL
+ * selftest — runs once under pthread_once. ctypes releases the GIL during
+ * zng_crc32, so lazy per-call init of the fold constants was a data race
+ * on K512/K128/pclmul_state (advisor round 3, low). */
+static void zng_crc_init_impl(void) {
     for (uint32_t i = 0; i < 256; i++) {
         uint32_t c = i;
         for (int k = 0; k < 8; k++)
@@ -106,7 +115,14 @@ void zng_crc_init(void) {
         for (uint32_t i = 0; i < 256; i++)
             crc_tab[t][i] = (crc_tab[t - 1][i] >> 8)
                             ^ crc_tab[0][crc_tab[t - 1][i] & 0xFF];
-    crc_ready = 1;
+    crc_ready = 1;   /* before pclmul_setup: its selftest calls crc32_s8 */
+#if defined(__PCLMUL__) && defined(__SSE4_1__)
+    zng_pclmul_setup();
+#endif
+}
+
+void zng_crc_init(void) {
+    pthread_once(&crc_once, zng_crc_init_impl);
 }
 
 static uint32_t zng_crc32_s8(const uint8_t *buf, long n, uint32_t crc) {
@@ -251,19 +267,19 @@ static int zng_pclmul_selftest(void) {
     }
     return 1;
 }
+
+/* Called once from zng_crc_init_impl (under pthread_once). */
+static void zng_pclmul_setup(void) {
+    zng_pclmul_init_consts();
+    pclmul_state = zng_pclmul_selftest() ? 1 : -1;
+}
 #endif
 
 uint32_t zng_crc32(const uint8_t *buf, long n, uint32_t crc) {
     if (!crc_ready) zng_crc_init();
 #if defined(__PCLMUL__) && defined(__SSE4_1__)
-    if (n >= 128) {
-        if (pclmul_state == 0) {
-            zng_pclmul_init_consts();
-            pclmul_state = zng_pclmul_selftest() ? 1 : -1;
-        }
-        if (pclmul_state == 1)
-            return zng_crc32_clmul(buf, n, crc);
-    }
+    if (n >= 128 && pclmul_state == 1)
+        return zng_crc32_clmul(buf, n, crc);
 #endif
     return zng_crc32_s8(buf, n, crc);
 }

@@ -55,28 +55,48 @@ def _adler_combine_pair(a: jnp.ndarray, b: jnp.ndarray, len2: jnp.ndarray):
     return (s2 << 16) | s1
 
 
+def _mod_tree(x: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise mod-base tree sum of values < base (never overflows u32)."""
+    while x.shape[0] > 1:
+        half = (x.shape[0] + 1) // 2
+        x = jnp.pad(x, (0, 2 * half - x.shape[0]))
+        x = (x[:half] + x[half:]) % base
+    return x[0]
+
+
 def _lane_adler(lane: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray):
-    """Adler32 of the payload slice of one lane (masked, uint32)."""
+    """Adler32 of the payload slice of one lane (masked, uint32).
+
+    Chunk-local weight decomposition: the total weighted sum
+    sum(b_i * (enc_end - pos_i)) is split per 2048-byte chunk into a
+    chunk-local part (weights <= 2048, so the chunk sum <= 255*2048^2 < 2^31)
+    plus csum_c * ((enc_end - chunk_end_c) mod base), with both factors
+    reduced mod base first (65520^2 < 2^32). The global-weight form
+    (b * (w mod base)) overflows uint32 at 255*65520*2048 ~ 3.4e10 — the
+    same reason the reference blocks adler at NMAX (adler32_p.h:11-13).
+    Mirrors ops/checksum_jax._adler32_device.
+    """
     N = lane.shape[0]
+    CH = 2048
+    Np = -(-N // CH) * CH
+    base = U32(ADLER_BASE)
     pos = jnp.arange(N, dtype=I32)
     m = (pos >= enc_start) & (pos < enc_end)
     b = jnp.where(m, lane, 0).astype(U32)
-    base = U32(ADLER_BASE)
-    # weights: enc_end - pos for payload positions
-    w = jnp.where(m, (enc_end - pos).astype(U32) % base, 0)
-    # block the modular sums to stay in uint32
-    CH = 2048
+    if Np != N:
+        b = jnp.pad(b, (0, Np - N))
     bs = b.reshape(-1, CH)
-    s1 = (bs.sum(axis=1) % base)
-    s2 = ((b * w).reshape(-1, CH).sum(axis=1) % base)
-    while s1.shape[0] > 1:
-        half = (s1.shape[0] + 1) // 2
-        s1 = jnp.pad(s1, (0, 2 * half - s1.shape[0]))
-        s2 = jnp.pad(s2, (0, 2 * half - s2.shape[0]))
-        s1 = (s1[:half] + s1[half:]) % base
-        s2 = (s2[:half] + s2[half:]) % base
+    csum = bs.sum(axis=1) % base                       # < base after mod
+    wloc = U32(CH) - jnp.arange(CH, dtype=U32)         # chunk_end - pos, 1..CH
+    wsum = (bs * wloc[None, :]).sum(axis=1) % base     # <= 255*CH^2/.. < 2^31
+    nch = Np // CH
+    chunk_end = (jnp.arange(nch, dtype=I32) + 1) * I32(CH)
+    trailing = ((enc_end - chunk_end) % I32(ADLER_BASE)).astype(U32)
+    t = (wsum + (csum * trailing) % base) % base
+    s1 = (U32(1) + _mod_tree(csum, base)) % base
     n = (enc_end - enc_start).astype(U32)
-    return ((s2[0] + n % base) % base << 16) | (1 + s1[0]) % base
+    s2 = (_mod_tree(t, base) + n % base) % base
+    return (s2 << 16) | s1
 
 
 def make_compress_step(mesh: Mesh, lane_size: int, out_max: int,
