@@ -56,9 +56,11 @@ def compress_tpu(data, level: int = 6, wbits: int = 15, strategy: int = 0,
                dictionary=dictionary)
 
 
-def decompress_tpu(data, wbits: int = 15, dictionary=None) -> bytes:
+def decompress_tpu(data, wbits: int = 15, dictionary=None):
     """One-shot decompression on the TPU batch decoder (ops/inflate_tpu:
     speculative token resolution + pointer-doubling LZ77); falls back to
-    the serial conformance decoder for streams it cannot batch."""
+    the serial conformance decoder for streams it cannot batch. Returns
+    bytes-like (a zero-copy memoryview on the native host path — wrap with
+    bytes() if a real bytes object is required)."""
     from .ops.inflate_tpu import decompress_tpu as _dt
     return _dt(data, wbits=wbits, dictionary=dictionary)

@@ -115,17 +115,23 @@ def available() -> bool:
 
 def _ptr(data):
     """(address, nbytes, keepalive) for bytes/bytearray/memoryview/ndarray
-    without copying."""
+    without copying.
+
+    Deliberately avoids ctypes from_buffer/cast keepalives: they build
+    reference CYCLES (the ctypes object's _objects dict), so the source
+    buffer stays referenced until a gc pass — which defeated the
+    refcount-guarded zero-copy scratch reuse in inflate_serial (a free
+    buffer looked held and every decode cold-allocated). np.frombuffer
+    holds the buffer via a plain acyclic base reference, released the
+    moment the keepalive drops."""
     if hasattr(data, "ctypes"):                       # numpy ndarray
         return ctypes.c_void_p(data.ctypes.data), data.nbytes, data
-    mv = memoryview(data)
-    n = mv.nbytes
-    if mv.readonly:
-        addr = ctypes.cast(ctypes.c_char_p(bytes(mv) if not isinstance(
-            data, bytes) else data), ctypes.c_void_p)
-        return addr, n, data
-    c = (ctypes.c_char * n).from_buffer(mv)
-    return ctypes.cast(c, ctypes.c_void_p), n, (mv, c)
+    if isinstance(data, bytes):
+        return ctypes.cast(ctypes.c_char_p(data), ctypes.c_void_p), \
+            len(data), data
+    import numpy as np
+    arr = np.frombuffer(memoryview(data), np.uint8)
+    return ctypes.c_void_p(arr.ctypes.data), arr.nbytes, arr
 
 
 def adler32(data, value: int = 1) -> int:

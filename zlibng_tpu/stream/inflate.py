@@ -23,7 +23,10 @@ class DecompressResult:
 
     def __init__(self, data: bytes, consumed: int, checksum: int | None,
                  gzip_header: H.GzipHeader | None = None):
-        self.data = data
+        # the compat surface promises real bytes (inflate_raw's native path
+        # hands back a zero-copy memoryview; the perf surface that avoids
+        # this materialization is ops/inflate_tpu.decompress_tpu)
+        self.data = data if isinstance(data, bytes) else bytes(data)
         self.consumed = consumed       # bytes of input consumed (this member)
         self.checksum = checksum
         self.gzip_header = gzip_header
