@@ -2,13 +2,19 @@
 
 Headline metric: level-6 block-parallel compress throughput on the bench
 corpus (Silesia stand-in: reference test/data + doc mix), single chip,
-vs the measured zlib-ng level-6 single-core baseline (BASELINE_MEASURED.json,
-measured on this machine from a Release build of the reference).
+vs the measured zlib-ng level-6 single-core baseline (BASELINE_MEASURED.json).
+
+Tunnel-proof (round-3 verdict item 2): the device-free host section
+(bench/host_metrics.py — shipped host decode, native checksums, LIVE
+re-measurement of the reference zlib-ng for same-minute ratios) always runs
+in a CPU-pinned subprocess, so a wedged axon tunnel degrades the record to
+host-only numbers instead of erasing it.
 """
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -42,8 +48,6 @@ def _device_alive(timeout_s: int = 240) -> bool:
     can wedge (hang forever in C++) after a killed transfer, and a hung
     in-process XLA call cannot be interrupted from Python. A subprocess
     probe turns 'bench hangs forever' into a reported error."""
-    import subprocess
-    import sys
     try:
         r = subprocess.run(
             [sys.executable, "-c",
@@ -56,15 +60,45 @@ def _device_alive(timeout_s: int = 240) -> bool:
         return False
 
 
+def _host_metrics(timeout_s: int = 420) -> dict:
+    """Device-free section in a CPU-pinned subprocess (never touches the
+    tunnel). Returns {} only if the section itself fails."""
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "bench", "host_metrics.py")],
+            timeout=timeout_s, capture_output=True)
+        if r.returncode == 0:
+            return json.loads(r.stdout.splitlines()[-1])
+        return {"host_section_error":
+                (r.stderr or b"").decode()[-300:] or f"rc={r.returncode}"}
+    except Exception as e:
+        return {"host_section_error": f"{type(e).__name__}: {e}"}
+
+
 def main():
     import zlib
 
+    host = _host_metrics()
+
     if not _device_alive():
+        # Dead tunnel: the host section IS the round's perf record.
+        value = host.get("host_decompress_MBps", 0.0) or 0.0
+        baseline_dec = None
+        bl_path = os.path.join(ROOT, "BASELINE_MEASURED.json")
+        if os.path.exists(bl_path):
+            bl = json.load(open(bl_path))
+            baseline_dec = bl["levels"].get("6", {}).get("decompress_MBps")
         print(json.dumps({
-            "metric": "corpus_l6_compress_throughput", "value": 0.0,
-            "unit": "MB/s", "vs_baseline": None,
-            "extra": {"error": "device probe timed out: axon tunnel "
-                               "wedged/unreachable; no numbers this run"}}))
+            "metric": "host_decompress_throughput", "value": value,
+            "unit": "MB/s",
+            "vs_baseline": (round(value / baseline_dec, 3)
+                            if baseline_dec and value else None),
+            "extra": {
+                "device": "unavailable",
+                "error": "device probe timed out: axon tunnel wedged or "
+                         "unreachable; recording host-path metrics only",
+                "host": host,
+            }}))
         return
 
     from zlibng_tpu.ops.deflate_tpu import compress_tpu
@@ -88,7 +122,7 @@ def main():
         size = len(c)
     assert zlib.decompress(c) == corpus
 
-    # decode path: zlib-compressed corpus through the TPU batch decoder
+    # decode path: zlib-compressed corpus through the auto-routed decoder
     dec_mbps = None
     dec_error = None
     try:
@@ -104,6 +138,32 @@ def main():
         dec_mbps = round(dbest / 1e6, 2)
     except Exception as e:  # recorded, never silent (round-2 weak #3)
         dec_error = f"{type(e).__name__}: {e}"
+
+    # device batch decode on indexed full-flush segments (round-3 verdict
+    # item 5: the device decode number must be on the record)
+    dev_dec_mbps = None
+    dev_dec_error = None
+    try:
+        from zlibng_tpu.ops import inflate_tpu as _itpu
+        from zlibng_tpu.stream.deflate import compress as _chost
+        seg = 1 << 16
+        segs = [corpus[i:i + seg] for i in range(0, min(n, 4 << 20), seg)]
+        blob = b""
+        starts = []
+        for s in segs:
+            starts.append(len(blob))
+            blob += _chost(s, level=6, wbits=-15)
+        outs = _itpu.decompress_segments_tpu(blob, starts)   # warm/compile
+        assert b"".join(outs) == corpus[:len(segs) * seg]
+        tot = len(segs) * seg
+        dbest = 0.0
+        for _ in range(2):
+            t = time.perf_counter()
+            outs = _itpu.decompress_segments_tpu(blob, starts)
+            dbest = max(dbest, tot / (time.perf_counter() - t))
+        dev_dec_mbps = round(dbest / 1e6, 2)
+    except Exception as e:
+        dev_dec_error = f"{type(e).__name__}: {e}"
 
     # regression guard: the device batch decoder must handle a plain zlib
     # stream itself (no serial fallback) — catches table-layout drift
@@ -167,6 +227,7 @@ def main():
     except Exception:
         pass
 
+    ref_live = host.get("ref_live_l6_compress_MBps")
     value = best / 1e6
     result = {
         "metric": "corpus_l6_compress_throughput",
@@ -180,9 +241,15 @@ def main():
             "baseline_zlibng_l6_MBps": baseline_mbps,
             "baseline_zlibng_l6_size": baseline_size,
             "size_vs_zlibng": round(size / baseline_size, 4) if baseline_size else None,
+            # same-minute reference measurement (host section): immune to
+            # the 2x session-to-session machine drift (round-3 weak #5)
+            "vs_ref_live": (round(value / ref_live, 3) if ref_live else None),
             "decompress_MBps": dec_mbps,
             "decompress_error": dec_error,
+            "device_decode_MBps": dev_dec_mbps,
+            "device_decode_error": dev_dec_error,
             "levels": lvl_extra,
+            "host": host,
             "device_elementwise_Gops": device_gops,
             # normalized cost: device elementwise Gops available per codec
             # MB — lower is better; stable under tunnel-rate variance, so
