@@ -18,8 +18,8 @@ _SRC = os.path.join(_HERE, "zng_host.c")
 _lib = None          # None = not tried, False = unavailable, else CDLL
 
 
-_CFLAGS = ["-O3", "-march=native", "-fPIC", "-shared"]
-_CFLAGS_PORTABLE = ["-O3", "-fPIC", "-shared"]
+_CFLAGS = ["-O3", "-march=native", "-fPIC", "-shared", "-lm"]
+_CFLAGS_PORTABLE = ["-O3", "-fPIC", "-shared", "-lm"]
 
 
 def _build(so_path: str) -> bool:
@@ -102,6 +102,20 @@ def lib():
             ctypes.POINTER(ctypes.c_long),                  # ncodes
             ctypes.c_int, ctypes.c_int,                     # lit/dist bits
         ]
+        lb.zng_huff_table.restype = None
+        lb.zng_huff_table.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_int,   # freqs,n,maxbits
+            ctypes.c_void_p, ctypes.c_void_p,               # lengths, codes
+        ]
+        lb.zng_dyn_header.restype = ctypes.c_long
+        lb.zng_dyn_header.argtypes = [
+            ctypes.c_void_p, ctypes.c_long,                 # lit lengths, n
+            ctypes.c_void_p, ctypes.c_long,                 # dist lengths, n
+            ctypes.c_void_p, ctypes.c_void_p,               # tok val/bits
+            ctypes.POINTER(ctypes.c_long),                  # total_bits
+        ]
+        lb.zng_est_block_bits.restype = ctypes.c_double
+        lb.zng_est_block_bits.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         _lib = lb
         return lb
     except Exception:
@@ -132,6 +146,44 @@ def _ptr(data):
     import numpy as np
     arr = np.frombuffer(memoryview(data), np.uint8)
     return ctypes.c_void_p(arr.ctypes.data), arr.nbytes, arr
+
+
+def huff_table(freqs, max_bits: int):
+    """Native encode-side Huffman build: (lengths, lsb-first codes), both
+    int32 arrays of len(freqs). Bit-identical to the numpy path (same
+    tie-breaking); caller guarantees `available()` and len(freqs) <= 320."""
+    import numpy as np
+    f = np.ascontiguousarray(freqs, np.int64)
+    lengths = np.empty(f.size, np.int32)
+    codes = np.empty(f.size, np.int32)
+    lib().zng_huff_table(ctypes.c_void_p(f.ctypes.data), f.size, max_bits,
+                         ctypes.c_void_p(lengths.ctypes.data),
+                         ctypes.c_void_p(codes.ctypes.data))
+    return lengths, codes
+
+
+def dyn_header(lit_lengths, dist_lengths):
+    """Native dynamic-header build: (tok_val, tok_bits, total_bits)."""
+    import numpy as np
+    ll = np.ascontiguousarray(lit_lengths, np.int32)
+    dl = np.ascontiguousarray(dist_lengths, np.int32)
+    tv = np.empty(720, np.int32)
+    tb = np.empty(720, np.int32)
+    total = ctypes.c_long(0)
+    nt = lib().zng_dyn_header(ctypes.c_void_p(ll.ctypes.data), ll.size,
+                              ctypes.c_void_p(dl.ctypes.data), dl.size,
+                              ctypes.c_void_p(tv.ctypes.data),
+                              ctypes.c_void_p(tb.ctypes.data),
+                              ctypes.byref(total))
+    return tv[:nt], tb[:nt], int(total.value)
+
+
+def est_block_bits(lfreq, dfreq) -> float:
+    """Native dynamic-block size estimate; caller guarantees `available()`
+    and shapes (286,), (30,) int64 contiguous."""
+    return float(lib().zng_est_block_bits(
+        ctypes.c_void_p(lfreq.ctypes.data),
+        ctypes.c_void_p(dfreq.ctypes.data)))
 
 
 def adler32(data, value: int = 1) -> int:

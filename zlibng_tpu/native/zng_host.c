@@ -16,6 +16,7 @@
  *                     overlap-tolerant LZ77 copies
  */
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 #include <pthread.h>
 
@@ -1215,4 +1216,240 @@ long zng_inflate_stream(const uint8_t *data, long nbytes, long *bitpos_io,
     *out_len_io = olen;
     *ncodes_io += ncodes;
     return ret;
+}
+
+/* ---- Encode-side Huffman table build (stage-2 host batching) ----
+ *
+ * TPU-framework analog of trees.c build_tree/gen_bitlen/gen_codes
+ * (trees.c:185-405): sorted-merge (Moffat-Katajainen) length construction
+ * plus EXACT Kraft restoration, with tie-breaking identical to
+ * huffman/encode.py so native and numpy outputs are bit-identical. The
+ * per-group Python tree build was the stage-2 host bottleneck (~1.1 ms per
+ * merged block group); these run in ~10 us.
+ */
+typedef struct { int64_t freq; int32_t idx; int32_t len; } hsym_t;
+
+static int hsym_cmp_freq(const void *pa, const void *pb) {
+    const hsym_t *a = (const hsym_t *)pa, *b = (const hsym_t *)pb;
+    if (a->freq != b->freq) return a->freq < b->freq ? -1 : 1;
+    return a->idx < b->idx ? -1 : 1;      /* stable: index ascending */
+}
+
+static int hsym_cmp_lenfreq(const void *pa, const void *pb) {
+    /* (length asc, freq desc, idx asc) — the _limit_lengths reassignment
+     * order (key = len*(maxfreq+1) - freq over index-ascending symbols) */
+    const hsym_t *a = (const hsym_t *)pa, *b = (const hsym_t *)pb;
+    if (a->len != b->len) return a->len < b->len ? -1 : 1;
+    if (a->freq != b->freq) return a->freq > b->freq ? -1 : 1;
+    return a->idx < b->idx ? -1 : 1;
+}
+
+static uint32_t bitrev_len(uint32_t c, int len) {
+    uint32_t r = 0;
+    for (int k = 0; k < len; k++) r |= ((c >> k) & 1u) << (len - 1 - k);
+    return r;
+}
+
+/* lengths[n], codes_rev[n] (LSB-first canonical codes) from freqs[n]. */
+void zng_huff_table(const int64_t *freqs, long n, int max_bits,
+                    int32_t *lengths, int32_t *codes_rev) {
+    hsym_t syms[320];
+    int64_t a[320];
+    int32_t depths[320];
+    long m = 0;
+    for (long i = 0; i < n; i++) {
+        lengths[i] = 0;
+        codes_rev[i] = 0;
+        if (freqs[i] > 0) {
+            syms[m].freq = freqs[i];
+            syms[m].idx = (int32_t)i;
+            m++;
+        }
+    }
+    if (m == 0) return;
+    if (m == 1) {
+        lengths[syms[0].idx] = 1;
+        /* canonical: single 1-bit code 0 */
+        return;
+    }
+    qsort(syms, (size_t)m, sizeof(hsym_t), hsym_cmp_freq);
+    for (long i = 0; i < m; i++) a[i] = syms[i].freq;
+    /* phase 1: in-place merge builds parent pointers / internal weights */
+    {
+        long s = 0, r = 0;
+        for (long t = 0; t < m - 1; t++) {
+            if (s >= m || (r < t && a[r] < a[s])) { a[t] = a[r]; a[r] = t; r++; }
+            else { a[t] = a[s]; s++; }
+            if (s >= m || (r < t && a[r] < a[s])) { a[t] += a[r]; a[r] = t; r++; }
+            else { a[t] += a[s]; s++; }
+        }
+    }
+    /* phase 2: internal depths right-to-left */
+    a[m - 2] = 0;
+    for (long t = m - 3; t >= 0; t--) a[t] = a[a[t]] + 1;
+    /* phase 3: leaf depth counting */
+    {
+        long avail = 1, depth = 0, t = m - 2, out_i = 0;
+        while (avail > 0) {
+            long usedn = 0;
+            while (t >= 0 && a[t] == depth) { usedn++; t--; }
+            for (long k = 0; k < avail - usedn; k++) depths[out_i++] = (int32_t)depth;
+            avail = 2 * usedn;
+            depth++;
+        }
+    }
+    /* depths are shallowest-first = most-frequent-first; syms sorted asc */
+    int32_t maxlen = 0;
+    for (long i = 0; i < m; i++) {
+        int32_t d = depths[m - 1 - i];
+        lengths[syms[i].idx] = d;
+        syms[i].len = d;
+        if (d > maxlen) maxlen = d;
+    }
+    if (maxlen > max_bits) {
+        /* exact Kraft restore (huffman/encode._limit_lengths): clamp, then
+         * demote one level-(bits) leaf + promote one max-depth leaf per
+         * oversubscription unit */
+        long bl_count[64] = {0};
+        for (long i = 0; i < m; i++) {
+            int32_t l = syms[i].len > max_bits ? max_bits : syms[i].len;
+            syms[i].len = l;
+            bl_count[l]++;
+        }
+        int64_t kraft = 0;
+        for (int b = 1; b <= max_bits; b++)
+            kraft += bl_count[b] << (max_bits - b);
+        int64_t target = (int64_t)1 << max_bits;
+        while (kraft > target) {
+            int bits = max_bits - 1;
+            while (bl_count[bits] == 0) bits--;
+            bl_count[bits]--;
+            bl_count[bits + 1] += 2;
+            bl_count[max_bits]--;
+            kraft--;
+        }
+        qsort(syms, (size_t)m, sizeof(hsym_t), hsym_cmp_lenfreq);
+        long out_i = 0;
+        for (int b = 0; b <= max_bits; b++)
+            for (long k = 0; k < bl_count[b]; k++)
+                lengths[syms[out_i++].idx] = b;
+    }
+    /* canonical codes (RFC 1951 3.2.2) + per-length bit reversal */
+    {
+        long blc[64] = {0};
+        uint32_t next_code[64];
+        for (long i = 0; i < n; i++) if (lengths[i] > 0) blc[lengths[i]]++;
+        uint32_t code = 0;
+        for (int b = 1; b <= max_bits; b++) {
+            code = (uint32_t)((code + blc[b - 1]) << 1);
+            next_code[b] = code;
+        }
+        for (long i = 0; i < n; i++) {
+            int l = lengths[i];
+            if (l > 0) codes_rev[i] = (int32_t)bitrev_len(next_code[l]++, l);
+        }
+    }
+}
+
+/* Dynamic-block header tokens (send_all_trees analog, trees.c:454-521):
+ * emits (val,bits) pairs: HLIT HDIST HCLEN, the permuted cl lengths, and
+ * the RLE'd lit+dist length stream under the cl tree. Returns the token
+ * count; *total_bits gets the summed width. tok arrays need >= 720 slots. */
+long zng_dyn_header(const int32_t *lit_len, long nlit,
+                    const int32_t *dist_len, long ndist,
+                    int32_t *tok_val, int32_t *tok_bits, long *total_bits) {
+    long hlit = 257, hdist = 1;
+    for (long i = 0; i < nlit; i++) if (lit_len[i] > 0 && i + 1 > hlit) hlit = i + 1;
+    for (long i = 0; i < ndist; i++) if (dist_len[i] > 0 && i + 1 > hdist) hdist = i + 1;
+    int32_t all[320];
+    long nall = 0;
+    for (long i = 0; i < hlit; i++) all[nall++] = lit_len[i];
+    for (long i = 0; i < hdist; i++) all[nall++] = dist_len[i];
+    /* RLE with 16/17/18 exactly like scan_tree (trees.c:411-453) */
+    int32_t rle_sym[700], rle_extra[700];
+    long nrle = 0;
+    int32_t prev = -1;
+    for (long i = 0; i < nall; ) {
+        int32_t cur = all[i];
+        long run = 1;
+        while (i + run < nall && all[i + run] == cur) run++;
+        if (cur == 0) {
+            long r = run;
+            while (r >= 11) {
+                long take = r < 138 ? r : 138;
+                rle_sym[nrle] = 18; rle_extra[nrle++] = (int32_t)(take - 11);
+                r -= take;
+            }
+            if (r >= 3) { rle_sym[nrle] = 17; rle_extra[nrle++] = (int32_t)(r - 3); r = 0; }
+            while (r-- > 0) { rle_sym[nrle] = 0; rle_extra[nrle++] = -1; }
+        } else {
+            long r = run;
+            if (cur != prev) { rle_sym[nrle] = cur; rle_extra[nrle++] = -1; r--; }
+            while (r >= 3) {
+                long take = r < 6 ? r : 6;
+                rle_sym[nrle] = 16; rle_extra[nrle++] = (int32_t)(take - 3);
+                r -= take;
+            }
+            while (r-- > 0) { rle_sym[nrle] = cur; rle_extra[nrle++] = -1; }
+        }
+        prev = cur;
+        i += run;
+    }
+    int64_t cl_freq[19] = {0};
+    for (long i = 0; i < nrle; i++) cl_freq[rle_sym[i]]++;
+    int32_t cl_len[19], cl_code[19];
+    zng_huff_table(cl_freq, 19, 7, cl_len, cl_code);
+    long hclen = 4;
+    for (long i = 0; i < 19; i++)
+        if (cl_len[BL_ORD[i]] > 0 && i + 1 > hclen) hclen = i + 1;
+    long nt = 0;
+    tok_val[nt] = (int32_t)(hlit - 257); tok_bits[nt++] = 5;
+    tok_val[nt] = (int32_t)(hdist - 1);  tok_bits[nt++] = 5;
+    tok_val[nt] = (int32_t)(hclen - 4);  tok_bits[nt++] = 4;
+    for (long i = 0; i < hclen; i++) {
+        tok_val[nt] = cl_len[BL_ORD[i]]; tok_bits[nt++] = 3;
+    }
+    for (long i = 0; i < nrle; i++) {
+        int32_t s = rle_sym[i];
+        tok_val[nt] = cl_code[s]; tok_bits[nt++] = cl_len[s];
+        if (s >= 16) {
+            tok_val[nt] = rle_extra[i];
+            tok_bits[nt++] = s == 16 ? 2 : (s == 17 ? 3 : 7);
+        }
+    }
+    int64_t tb = 0;
+    for (long i = 0; i < nt; i++) tb += tok_bits[i];
+    *total_bits = tb;
+    return nt;
+}
+
+/* Entropy + extra-bits + header-model estimate of one dynamic block
+ * (ops/deflate_tpu._est_block_bits): drives the stored pre-pass and the
+ * block agglomeration merge decisions. lfreq[286], dfreq[30]. */
+#include <math.h>
+double zng_est_block_bits(const int64_t *lfreq, const int64_t *dfreq) {
+    double bits = 0.0;
+    long used = 0;
+    int64_t ltot = 0, dtot = 0;
+    for (int i = 0; i < 286; i++) ltot += lfreq[i];
+    for (int i = 0; i < 30; i++) dtot += dfreq[i];
+    for (int i = 257; i < 286; i++) bits += (double)lfreq[i] * LE[i - 257];
+    for (int i = 0; i < 30; i++) bits += (double)dfreq[i] * DE[i];
+    if (ltot) {
+        double lt = log2((double)ltot);
+        for (int i = 0; i < 286; i++)
+            if (lfreq[i] > 0) {
+                bits += (double)lfreq[i] * (lt - log2((double)lfreq[i]));
+                used++;
+            }
+    }
+    if (dtot) {
+        double dt2 = log2((double)dtot);
+        for (int i = 0; i < 30; i++)
+            if (dfreq[i] > 0) {
+                bits += (double)dfreq[i] * (dt2 - log2((double)dfreq[i]));
+                used++;
+            }
+    }
+    return bits + 3 + 14 + 57 + 5 * (double)used;
 }

@@ -249,7 +249,17 @@ def _est_block_bits(lfreq: np.ndarray, dfreq: np.ndarray) -> float:
     """Entropy + extra-bits + header-model estimate of one dynamic block.
     Used only for grouping/stored decisions (exact tree costs are computed
     after the partition is fixed); entropy slightly underestimates Huffman
-    bits but the bias cancels in merge comparisons."""
+    bits but the bias cancels in merge comparisons. Native fast path in
+    zng_host.c (same formula; summation order may differ in the last ulp,
+    which only ever flips already-borderline merge choices)."""
+    try:
+        from .. import native
+        if native.available():
+            return native.est_block_bits(
+                np.ascontiguousarray(lfreq, np.int64),
+                np.ascontiguousarray(dfreq, np.int64))
+    except Exception:
+        pass
     bits = float(_extra_cost(lfreq, dfreq))
     for f in (lfreq, dfreq):
         tot = f.sum()
@@ -257,6 +267,26 @@ def _est_block_bits(lfreq: np.ndarray, dfreq: np.ndarray) -> float:
             nz = f[f > 0].astype(np.float64)
             bits += float((nz * (np.log2(tot) - np.log2(nz))).sum())
     used = int((lfreq > 0).sum()) + int((dfreq > 0).sum())
+    return bits + 3 + 14 + 57 + 5 * used
+
+
+def _est_block_bits_batch(lfreqs: np.ndarray, dfreqs: np.ndarray) -> np.ndarray:
+    """Vectorized _est_block_bits over rows: (U,286),(U,30) -> (U,) float.
+    One numpy pass for the per-unit stored pre-pass (the scalar form cost
+    ~0.1 ms x units of Python/numpy overhead per group)."""
+    lext = np.zeros(286, np.int64)
+    lext[257:286] = LENGTH_EXTRA[:29]
+    dext = DIST_EXTRA[:30].astype(np.int64)
+    bits = (lfreqs @ lext + dfreqs @ dext).astype(np.float64)
+    for f in (lfreqs, dfreqs):
+        tot = f.sum(axis=1, keepdims=True).astype(np.float64)
+        fv = f.astype(np.float64)
+        safe = np.maximum(fv, 1.0)
+        ent = np.where(f > 0,
+                       fv * (np.log2(np.maximum(tot, 1.0)) - np.log2(safe)),
+                       0.0)
+        bits += ent.sum(axis=1)
+    used = (lfreqs > 0).sum(axis=1) + (dfreqs > 0).sum(axis=1)
     return bits + 3 + 14 + 57 + 5 * used
 
 
@@ -354,17 +384,23 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
 
         # stored pre-pass: a unit whose raw bytes beat its own entropy
         # estimate is emitted stored (the per-16K stored/huff adaptivity
-        # zlib-ng gets from per-sym_buf FLUSH_BLOCK type choice)
+        # zlib-ng gets from per-sym_buf FLUSH_BLOCK type choice).
+        # One vectorized pass over all units (scalar per-unit numpy calls
+        # were a host stage-2 bottleneck — round-3 verdict item 7).
         est: dict[tuple[int, int], float] = {}
         is_stored: dict[tuple[int, int], bool] = {}
-        for u in units:
-            i, q = u
-            e = _est_block_bits(lfreqs[i, q].astype(np.int64),
-                                dfreqs[i, q].astype(np.int64))
-            est[u] = e
-            is_stored[u] = 42 + 8 * int(unit_lens[i, q]) < e
-            if is_stored[u]:
-                stored_mask[i, q] = True
+        if units:
+            ui = np.array([u[0] for u in units])
+            uq = np.array([u[1] for u in units])
+            ests = _est_block_bits_batch(
+                lfreqs[ui, uq].astype(np.int64),
+                dfreqs[ui, uq].astype(np.int64))
+            for u, e in zip(units, ests):
+                i, q = u
+                est[u] = float(e)
+                is_stored[u] = 42 + 8 * int(unit_lens[i, q]) < e
+                if is_stored[u]:
+                    stored_mask[i, q] = True
 
         # greedy agglomeration of consecutive huff units: merge while the
         # combined estimate beats separate blocks (one header saved vs

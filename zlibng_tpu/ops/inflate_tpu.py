@@ -537,6 +537,17 @@ def decompress_tpu(data: bytes, wbits: int = 15,
     """zlib.decompress-compatible one-shot: handles zlib/gzip/raw/auto
     framing like stream/inflate.decompress and routes the DEFLATE payload
     through the engine picked by `engine` (see inflate_raw_tpu)."""
+    from ..format.headers import NeedMoreInput
+    try:
+        return _decompress_tpu(data, wbits=wbits, dictionary=dictionary,
+                               engine=engine)
+    except NeedMoreInput:  # truncated header on the one-shot surface
+        raise InflateError("unexpected end of stream") from None
+
+
+def _decompress_tpu(data: bytes, wbits: int = 15,
+                    dictionary: bytes | None = None,
+                    engine: str = "auto") -> bytes:
     import struct
 
     from ..checksum.adler32 import adler32

@@ -53,11 +53,13 @@ def probe_offsets(chain: int) -> tuple[int, ...]:
 # for 32 lanes, measured on-device) while each compacted deep step pays two
 # point-indexed row gathers per batch row; on text (~50% of rows hunting
 # after 4 probes) the gather form measured ~4.7x SLOWER than running the
-# same depths densely. Dense therefore covers every chain the mid levels
-# use (chain <= 16, deflate.c:142-168 tiers), and the compacted loop only
-# serves the deep tail of L7-L9 (chain 32-64), where hunting fractions
-# after 16 dense probes are small enough for compaction to win.
-DENSE_PROBES = 16
+# same depths densely, and at the L9 tail (17..64) dense-64 measured EQUAL
+# to the compacted form while being structurally simpler (round-3 bench:
+# compacted L9 regressed 3.05 -> 0.71 MB/s). Dense therefore covers every
+# shipped level's chain (<= 64, deflate.c:142-168 tiers); the compacted
+# loop only serves deflateTune chains beyond 64, where the hunting
+# fraction after 64 dense probes is small enough for compaction to win.
+DENSE_PROBES = 64
 GOOD_L16 = 12
 
 
@@ -184,7 +186,20 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
         best_cand_s = jnp.zeros(N, I32)
         pos_s = order
         dense = min(chain, DENSE_PROBES)
+        # the deflateTune `good` knob (match_tpl.h:84-88 chain quartering):
+        # after GATE_DEPTH probes, rows whose best probe already reaches
+        # `good` bytes stop improving — deeper dense passes still run (pure
+        # shifted compares) but their updates are masked for settled rows,
+        # matching the compacted path's hunt gate semantics exactly.
+        GATE_DEPTH = 16
+        good_l16 = max(4, min(good, 16))
+        hunting = None
         for k in probe_offsets(dense):
+            if k == GATE_DEPTH + 1:
+                cur_l16 = jnp.where(
+                    best_score > NEG,
+                    (best_score + (pos_s - best_cand_s)) >> 20, 0)
+                hunting = cur_l16 < good_l16
             cand = jnp.concatenate([jnp.zeros(k, I32), pos_s[:-k]])
             same = jnp.concatenate([jnp.zeros(k, bool),
                                     h_sorted[k:] == h_sorted[:-k]])
@@ -198,6 +213,8 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
                 & (dist > 0)
             score = jnp.where(ok, (l16 << 20) - dist, NEG)
             better = score > best_score
+            if hunting is not None:
+                better = better & hunting
             best_score = jnp.where(better, score, best_score)
             best_cand_s = jnp.where(better, cand, best_cand_s)
 

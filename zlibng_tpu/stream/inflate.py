@@ -34,7 +34,20 @@ class DecompressResult:
 
 def decompress_member(data: bytes, wbits: int = 15,
                       dictionary: bytes | None = None) -> DecompressResult:
-    """Decompress a single zlib/gzip/raw member, verifying trailers."""
+    """Decompress a single zlib/gzip/raw member, verifying trailers.
+
+    One-shot surface: a header truncated mid-field (e.g. FDICT set but no
+    DICTID bytes) is a hard error here, unlike the streaming Inflate class
+    where NeedMoreInput means 'feed me more' (inflate.c one-shot callers
+    see Z_DATA_ERROR for the same streams)."""
+    try:
+        return _decompress_member(data, wbits=wbits, dictionary=dictionary)
+    except H.NeedMoreInput:
+        raise InflateError("unexpected end of stream") from None
+
+
+def _decompress_member(data: bytes, wbits: int = 15,
+                       dictionary: bytes | None = None) -> DecompressResult:
     if wbits < 0:
         # raw deflate
         out, bits = inflate_raw(data, wbits=-wbits, dictionary=dictionary)
