@@ -89,6 +89,46 @@ def _ctz_bytes32(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x == 0, 4, (ctz >> U32(3)).astype(I32))
 
 
+def _probe_best_xla(w2_s: jnp.ndarray, h_sorted: jnp.ndarray,
+                    pos_s: jnp.ndarray, hist_valid_from,
+                    dense: int, gate_depth: int, good_l16: int):
+    """Dense probe sweep, pure-XLA form: for k = 1..dense compare every
+    sorted row against its k-th predecessor (shifted arrays) and keep the
+    best (probe_len << 20) - dist score. Reference semantics: the
+    match_tpl.h:130-174 chain walk; rows whose best reaches `good_l16`
+    after `gate_depth` probes stop improving (match_tpl.h:84-88).
+    The Pallas kernel in probe_pallas.py computes exactly this in VMEM."""
+    N, W = w2_s.shape
+    NEG = jnp.int32(-(1 << 30))
+    best_score = jnp.full(N, NEG, I32)
+    best_cand_s = jnp.zeros(N, I32)
+    hunting = None
+    for k in probe_offsets(dense):
+        if k == gate_depth + 1:
+            cur_l16 = jnp.where(
+                best_score > NEG,
+                (best_score + (pos_s - best_cand_s)) >> 20, 0)
+            hunting = cur_l16 < good_l16
+        cand = jnp.concatenate([jnp.zeros(k, I32), pos_s[:-k]])
+        same = jnp.concatenate([jnp.zeros(k, bool),
+                                h_sorted[k:] == h_sorted[:-k]])
+        zk = jnp.zeros((k, W), U32)
+        x = w2_s ^ jnp.concatenate([zk, w2_s[:-k]], axis=0)  # (N, W)
+        l16 = _ctz_bytes32(x[:, W - 1])
+        for w in range(W - 2, -1, -1):
+            l16 = jnp.where(x[:, w] != 0, _ctz_bytes32(x[:, w]), 4 + l16)
+        dist = pos_s - cand
+        ok = same & (cand >= hist_valid_from) & (dist <= WINDOW_SIZE) \
+            & (dist > 0)
+        score = jnp.where(ok, (l16 << 20) - dist, NEG)
+        better = score > best_score
+        if hunting is not None:
+            better = better & hunting
+        best_score = jnp.where(better, score, best_score)
+        best_cand_s = jnp.where(better, cand, best_cand_s)
+    return best_score, best_cand_s
+
+
 def _floor_log2(x: jnp.ndarray) -> jnp.ndarray:
     """floor(log2(x)) for x >= 1 (int32), exact via f32 exponent (x < 2^24)."""
     _, e = jnp.frexp(x.astype(jnp.float32))
@@ -182,8 +222,6 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
         w2_s = w2[order]                                    # row gather
 
         NEG = jnp.int32(-(1 << 30))
-        best_score = jnp.full(N, NEG, I32)
-        best_cand_s = jnp.zeros(N, I32)
         pos_s = order
         dense = min(chain, DENSE_PROBES)
         # the deflateTune `good` knob (match_tpl.h:84-88 chain quartering):
@@ -193,30 +231,17 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
         # matching the compacted path's hunt gate semantics exactly.
         GATE_DEPTH = 16
         good_l16 = max(4, min(good, 16))
-        hunting = None
-        for k in probe_offsets(dense):
-            if k == GATE_DEPTH + 1:
-                cur_l16 = jnp.where(
-                    best_score > NEG,
-                    (best_score + (pos_s - best_cand_s)) >> 20, 0)
-                hunting = cur_l16 < good_l16
-            cand = jnp.concatenate([jnp.zeros(k, I32), pos_s[:-k]])
-            same = jnp.concatenate([jnp.zeros(k, bool),
-                                    h_sorted[k:] == h_sorted[:-k]])
-            zk = jnp.zeros((k, W), U32)
-            x = w2_s ^ jnp.concatenate([zk, w2_s[:-k]], axis=0)  # (N, W)
-            l16 = _ctz_bytes32(x[:, W - 1])
-            for w in range(W - 2, -1, -1):
-                l16 = jnp.where(x[:, w] != 0, _ctz_bytes32(x[:, w]), 4 + l16)
-            dist = pos_s - cand
-            ok = same & (cand >= hist_valid_from) & (dist <= WINDOW_SIZE) \
-                & (dist > 0)
-            score = jnp.where(ok, (l16 << 20) - dist, NEG)
-            better = score > best_score
-            if hunting is not None:
-                better = better & hunting
-            best_score = jnp.where(better, score, best_score)
-            best_cand_s = jnp.where(better, cand, best_cand_s)
+        if jax.default_backend() == "tpu" and N % 128 == 0:
+            # fused kernel: all dense shifted compares run in VMEM — one
+            # HBM read of the probe planes instead of one per pass
+            from .probe_pallas import probe_best_pallas
+            best_score, best_cand_s = probe_best_pallas(
+                w2_s, h_sorted, pos_s, hist_valid_from,
+                dense, GATE_DEPTH, good_l16)
+        else:
+            best_score, best_cand_s = _probe_best_xla(
+                w2_s, h_sorted, pos_s, hist_valid_from,
+                dense, GATE_DEPTH, good_l16)
 
         if chain > dense:
             # ---- compacted deep probes (k = dense+1 .. chain) ----------
