@@ -73,21 +73,32 @@ U32 = jnp.uint32
 # ---------------------------------------------------------------------------
 # jitted stages
 # ---------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("chain", "lazy", "max_lazy",
-                                              "nice", "strategy", "good"))
-def _stage1(lanes, enc_ends, hist_valids, chain, lazy, max_lazy, nice=258,
-            strategy=0, good=12):
+@functools.partial(jax.jit, static_argnames=("lane_block", "chain", "lazy",
+                                              "max_lazy", "nice", "strategy",
+                                              "good"))
+def _stage1(flat, enc_ends, hist_valids, lane_block, chain, lazy, max_lazy,
+            nice=258, strategy=0, good=12):
+    """flat: (LANE_HIST + B*lane_block,) u8 — the group's payload uploaded
+    ONCE; lanes (with their 32K overlapping history prefixes) are assembled
+    in-graph by dynamic slices. The old per-lane host assembly re-uploaded
+    every lane's history (25% extra bytes) through the host link — on the
+    axon tunnel (~10 MB/s measured) transfers, not compute, dominate the
+    wall time, and on real hardware this is PCIe bytes saved."""
     from .lz77_jax import finalize_tokens, unit_freqs
     from .parse_pallas import parse_select
 
-    def one(lane, ee, hv):
-        return lz77_lane(lane, jnp.int32(LANE_HIST), ee, hv, chain, lazy,
-                         max_lazy, nice, unit=UNIT, strategy=strategy,
-                         good=good)
+    lane = LANE_HIST + lane_block
+    B = enc_ends.shape[0]
+    starts = jnp.arange(B, dtype=I32) * lane_block
 
-    core = jax.vmap(one)(lanes, enc_ends, hist_valids)
-    B = lanes.shape[0]
-    qpl = (lanes.shape[1] - LANE_HIST) // UNIT   # units per lane, from shape
+    def one(s, ee, hv):
+        lane_b = jax.lax.dynamic_slice(flat, (s,), (lane,))
+        return lane_b, lz77_lane(lane_b, jnp.int32(LANE_HIST), ee, hv, chain,
+                                 lazy, max_lazy, nice, unit=UNIT,
+                                 strategy=strategy, good=good)
+
+    lanes, core = jax.vmap(one)(starts, enc_ends, hist_valids)
+    qpl = lane_block // UNIT
     bounds = jnp.stack([jnp.full(B, LANE_HIST, jnp.int32), enc_ends], axis=1)
     sel = parse_select(core["step"], bounds)
     outs = finalize_tokens(lanes, core, sel)
@@ -100,12 +111,14 @@ def _stage1(lanes, enc_ends, hist_valids, chain, lazy, max_lazy, nice=258,
     compact = dict(sel=outs["sel"].astype(bool),
                    tok_len=outs["tok_len"].astype(jnp.uint16),
                    tok_dist=outs["tok_dist"].astype(jnp.uint16))
-    return compact, lfreqs, dfreqs
+    # per-unit counts are <= UNIT (16384): uint16 halves the host fetch
+    return compact, lfreqs.astype(jnp.uint16), dfreqs.astype(jnp.uint16)
 
 
-@functools.partial(jax.jit, static_argnames=("out_bytes", "max_cover"))
-def _stage2(lanes, tok_len, tok_dist, sel,
-            llen_tab, lcode_tab, dlen_tab, dcode_tab, out_bytes,
+@functools.partial(jax.jit, static_argnames=("lane_block", "out_bytes",
+                                              "max_cover"))
+def _stage2(flat, tok_len, tok_dist, sel,
+            llen_tab, lcode_tab, dlen_tab, dcode_tab, lane_block, out_bytes,
             max_cover=8):
     """Render + pack per UNIT (quarter-lane): every unit is an independent
     BODY bitstream against its own code tables, so the host can choose
@@ -170,15 +183,19 @@ def _stage2(lanes, tok_len, tok_dist, sel,
         lo, hi, nb = render_body_tokens(tl, td, ls, ds, se, lt, lc, dt, dc)
         return hierarchical_pack(lo, hi, nb, out_bytes, max_cover)
 
-    def one(lane, tl, td, se, lt, lc, dt, dc):
-        qpl = (lane.shape[0] - LANE_HIST) // UNIT
-        pay = lane[LANE_HIST:].reshape(qpl, UNIT)
+    qpl = lane_block // UNIT
+    B = tok_len.shape[0]
+    starts = LANE_HIST + jnp.arange(B, dtype=I32) * lane_block
+
+    def one(s, tl, td, se, lt, lc, dt, dc):
+        pay = jax.lax.dynamic_slice(flat, (s,),
+                                    (lane_block,)).reshape(qpl, UNIT)
         tlq = tl.astype(I32)[LANE_HIST:].reshape(qpl, UNIT)
         tdq = td.astype(I32)[LANE_HIST:].reshape(qpl, UNIT)
         seq = se[LANE_HIST:].reshape(qpl, UNIT)
         return jax.vmap(qone)(pay, tlq, tdq, seq, lt, lc, dt, dc)
 
-    return jax.vmap(one)(lanes, tok_len, tok_dist, sel,
+    return jax.vmap(one)(starts, tok_len, tok_dist, sel,
                          llen_tab, lcode_tab, dlen_tab, dcode_tab)
 
 
@@ -324,7 +341,6 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
     first_hist_valid = LANE_HIST - d.size
 
     stitch = _BitStitcher()
-    lane_starts = [bi * lane_block for bi in range(nblocks)]
 
     # Software pipeline over lane groups: stage1 dispatches are queued ahead
     # so host work (freq fetch, Huffman tree build, stitching) overlaps with
@@ -335,28 +351,32 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
         g1 = min(g0 + max_lanes, nblocks)
         B = g1 - g0
         Bpad = 1 << (B - 1).bit_length()  # bucket to limit recompiles
-        lanes = np.zeros((Bpad, lane), np.uint8)
+        # ONE flat upload per group: history prefix + payload, zero-padded
+        # to the Bpad bucket; lanes are assembled on device (_stage1)
+        base = g0 * lane_block
+        flat = vbuf[base: base + LANE_HIST + B * lane_block]
+        if Bpad != B:
+            flat = np.concatenate(
+                [flat, np.zeros((Bpad - B) * lane_block, np.uint8)])
         enc_ends = np.full(Bpad, LANE_HIST, np.int32)
         hist_valids = np.zeros(Bpad, np.int32)
         for i, bi in enumerate(range(g0, g1)):
-            s = lane_starts[bi]
-            lanes[i] = vbuf[s:s + lane]
             enc_ends[i] = LANE_HIST + min(lane_block, n - bi * lane_block)
             hist_valids[i] = first_hist_valid if bi == 0 else 0
-        lanes_d = jnp.asarray(lanes)
+        flat_d = jnp.asarray(flat)
         with span("deflate stage1 dispatch lanes[%d:%d] Bpad=%d", g0, g1,
                   Bpad):
             outs, lfreqs_d, dfreqs_d = _stage1(
-                lanes_d, jnp.asarray(enc_ends), jnp.asarray(hist_valids),
-                lc.chain, lc.lazy, lc.max_lazy, lc.nice,
+                flat_d, jnp.asarray(enc_ends), jnp.asarray(hist_valids),
+                lane_block, lc.chain, lc.lazy, lc.max_lazy, lc.nice,
                 strategy if strategy in (1, 2, 3) else 0, lc.good)
-        return dict(g0=g0, g1=g1, B=B, Bpad=Bpad, lanes_d=lanes_d,
+        return dict(g0=g0, g1=g1, B=B, Bpad=Bpad, flat_d=flat_d,
                     outs=outs, lfreqs_d=lfreqs_d, dfreqs_d=dfreqs_d,
                     enc_ends=enc_ends)
 
     def _dispatch_stage2(gm: dict) -> None:
         g0, g1, B, Bpad = gm["g0"], gm["g1"], gm["B"], gm["Bpad"]
-        enc_ends, outs, lanes_d = gm["enc_ends"], gm["outs"], gm["lanes_d"]
+        enc_ends, outs, flat_d = gm["enc_ends"], gm["outs"], gm["flat_d"]
         lfreqs = np.asarray(gm["lfreqs_d"])          # (Bpad, qpl, 286)
         dfreqs = np.asarray(gm["dfreqs_d"])          # (Bpad, qpl, 30)
 
@@ -370,7 +390,6 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
         stored_mask = np.zeros((Bpad, qpl), bool)
         unit_lens = np.zeros((Bpad, qpl), np.int32)
         max_body_bits = 0
-        min_code_len = 15  # over all assigned tables: drives pack max_cover
 
         # unit inventory in stream order (units = 16 KiB block granules)
         units: list[tuple[int, int]] = []
@@ -474,12 +493,6 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                     llen_tab[i, q, :286], lcode_tab[i, q, :286] = llen, lcode
                     dlen_tab[i, q], dcode_tab[i, q] = dlen, dcode
                 eob_at[grp[-1]] = (int(lcode[256]), int(llen[256]))
-                nz = llen[llen > 0]
-                if nz.size:
-                    min_code_len = min(min_code_len, int(nz.min()))
-                nz = dlen[dlen > 0]
-                if nz.size:
-                    min_code_len = min(min_code_len, int(nz.min()))
             else:
                 tokens = [(int(gfinal) | (1 << 1), 3)]
                 ul_, ud_ = FIXED_LIT_LENGTHS[:286], FIXED_DIST_LENGTHS
@@ -489,7 +502,6 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                     dlen_tab[i, q, :] = FIXED_DIST_LENGTHS
                     dcode_tab[i, q, :] = FIXED_DIST_CODES_REV
                 eob_at[grp[-1]] = (int(FIXED_LIT_CODES_REV[256]), 7)
-                min_code_len = min(min_code_len, 5)  # fixed dist codes
             hdr_at[grp[0]] = tokens
             # exact per-unit body-bit bound under the chosen tables (stage-2
             # demotion only shrinks a unit) — drives the pack output bucket
@@ -507,16 +519,13 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
             if max_body_bits <= (ob - 8) * 8:
                 out_bytes = ob
                 break
-        # a byte is covered by at most 1 + ceil(7/minlen) non-empty windows
-        need_cover = 1 + -(-7 // max(1, min_code_len))
-        max_cover = next(c for c in (3, 5, 8) if c >= need_cover)
-        with span("deflate stage2 dispatch lanes[%d:%d] out=%d cover=%d",
-                  g0, g1, out_bytes, max_cover):
+        with span("deflate stage2 dispatch lanes[%d:%d] out=%d", g0, g1,
+                  out_bytes):
             packed, totals = _stage2(
-                lanes_d, outs["tok_len"], outs["tok_dist"],
+                flat_d, outs["tok_len"], outs["tok_dist"],
                 outs["sel"], jnp.asarray(llen_tab),
                 jnp.asarray(lcode_tab), jnp.asarray(dlen_tab),
-                jnp.asarray(dcode_tab), out_bytes, max_cover)
+                jnp.asarray(dcode_tab), lane_block, out_bytes)
         gm["packed_d"] = packed
         gm["totals_d"] = totals
         gm["stored_mask"] = stored_mask
@@ -525,7 +534,7 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
         gm["eob_at"] = eob_at
         gm["group_expect"] = group_expect
         # stage1 intermediates are no longer needed on device
-        del gm["outs"], gm["lanes_d"], gm["lfreqs_d"], gm["dfreqs_d"]
+        del gm["outs"], gm["flat_d"], gm["lfreqs_d"], gm["dfreqs_d"]
 
     def _stitch(gm: dict) -> None:
         packed = np.asarray(gm["packed_d"])          # (Bpad, qpl, out_bytes)

@@ -212,7 +212,9 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
         # rows, the winner map-back through the inverse permutation, and
         # the winner extension rows — each a wide contiguous row gather.
         order = jnp.argsort(h, stable=True).astype(I32)     # (N,)
-        inv = jnp.argsort(order).astype(I32)                # inverse perm
+        # inverse permutation by scatter (O(N)) — a second argsort would
+        # pay the full bitonic-network cost again just to invert
+        inv = jnp.zeros(N, I32).at[order].set(pos)
         h_sorted = h[order]
         # probe rows (PROBE_WORDS u32 words each) — longer probes break
         # winner ties that chain-order heuristics get wrong (measured:

@@ -51,13 +51,17 @@ def _ctz_bytes32_i(x: jnp.ndarray) -> jnp.ndarray:
 def _probe_kernel(dense: int, gate_depth: int, good_l16: int, R: int,
                   params_ref, body_ref, halo_ref, score_ref, cand_ref):
     hv = params_ref[0, 0]
-    full = jnp.concatenate([halo_ref[:], body_ref[:]], axis=1)  # (6,R+1,128)
+    # halo block is (1, 6, 128) — Mosaic requires the last two block dims
+    # (8,128)-divisible or full-size, so the tile axis leads
+    full = jnp.concatenate([halo_ref[0][:, None, :], body_ref[:]],
+                           axis=1)                              # (6,R+1,128)
     q = [full[w, 1:, :] for w in range(_W)]
     qh = full[_W, 1:, :]
     qpos = full[_W + 1, 1:, :]
     neg = jnp.int32(_NEG)
     bs = jnp.full((R, 128), neg, I32)
     bc = jnp.zeros((R, 128), I32)
+    lane = jax.lax.broadcasted_iota(I32, (R, 128), 1)
     hunting = None
     for k in range(1, dense + 1):
         if k == gate_depth + 1:
@@ -67,8 +71,11 @@ def _probe_kernel(dense: int, gate_depth: int, good_l16: int, R: int,
             hunting = cur < good_l16
 
         def sh(p):
-            return jnp.concatenate(
-                [p[:-1, 128 - k:], p[1:, :128 - k]], axis=1)
+            # flat shift by k: one lane-rotate of the haloed plane, then
+            # pick the carried row for the k wrapped lanes (Mosaic cannot
+            # lower narrow lane-concats; roll is a native rotate)
+            r = pltpu.roll(p, k, 1)
+            return jnp.where(lane < k, r[:-1, :], r[1:, :])
 
         x = q[_W - 1] ^ sh(full[_W - 1])
         l16 = _ctz_bytes32_i(x)
@@ -90,10 +97,12 @@ def _probe_kernel(dense: int, gate_depth: int, good_l16: int, R: int,
 
 
 def _pick_tile_rows(nr: int) -> int:
-    for r in (64, 32, 16, 8, 4, 2, 1):
+    """Tile row count: 8-divisible (Mosaic sublane constraint) or the full
+    array (single tile)."""
+    for r in (64, 32, 16, 8):
         if nr % r == 0:
             return r
-    return 1
+    return nr
 
 
 @functools.partial(jax.jit, static_argnames=("dense", "gate_depth",
@@ -115,12 +124,14 @@ def probe_best_pallas(w2_s: jnp.ndarray, h_sorted: jnp.ndarray,
         [w2_s[:, w].astype(I32).reshape(NR, 128) for w in range(_W)]
         + [h_sorted.reshape(NR, 128), pos_s.reshape(NR, 128)],
         axis=0)                                         # (6, NR, 128)
-    # halo row for tile i = flat row i*R - 1; tile 0 pads (h = -1 so the
-    # same-hash test can never match before the first real row)
-    pad = jnp.zeros((6, 1, 128), I32).at[_W].set(-1)
+    # halo row for tile i = flat row i*R - 1, tile axis LEADING so the
+    # trailing block dims stay full-size (6, 128) for Mosaic; tile 0 pads
+    # (h = -1 so the same-hash test can never match before the first row)
+    pad = jnp.zeros((1, 6, 128), I32).at[:, _W].set(-1)
     if grid > 1:
         halo = jnp.concatenate(
-            [pad, planes[:, R - 1::R, :][:, :grid - 1, :]], axis=1)
+            [pad, jnp.swapaxes(planes[:, R - 1::R, :][:, :grid - 1, :],
+                               0, 1)], axis=0)          # (grid, 6, 128)
     else:
         halo = pad
     params = jnp.reshape(jnp.asarray(hist_valid_from, I32), (1, 1))
@@ -134,7 +145,7 @@ def probe_best_pallas(w2_s: jnp.ndarray, h_sorted: jnp.ndarray,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((6, R, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, 1, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((1, 6, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
