@@ -72,7 +72,7 @@ _DB_J = jnp.asarray(DIST_BASE.astype(np.int32))
 
 # lane size buckets (compressed bytes per lane). A typical dynamic block is
 # well under 64 KiB compressed; monster blocks fall back to serial.
-_CB_BUCKETS = (1 << 11, 1 << 14, 1 << 17)
+_CB_BUCKETS = (1 << 11, 1 << 14, 1 << 15, 1 << 17)
 _DPAD = 1 << 15          # dictionary/window prefix region in phase B
 _BIG = 1 << 26           # chain-terminating step
 
@@ -84,23 +84,78 @@ class _Fallback(Exception):
 # ---------------------------------------------------------------------------
 # phase A — batched speculative token resolution
 # ---------------------------------------------------------------------------
-@jax.jit
-def _phase_a(lane_bytes, lit_luts, dist_luts, start_bits, lit_masks,
-             dist_masks):
-    """lane_bytes (B, CB) u8; luts (B, 32768) i32 packed sym<<4|nbits (<0
-    invalid), only the first lit_masks[b]+1 / dist_masks[b]+1 entries of
-    lane b are valid (variable-width tables, the flat analog of
-    inftrees.c:30-295 root-bits sizing); start_bits (B,) i32 bit offset of
-    the first symbol. Returns compacted per-lane token arrays + counts.
+def _build_flat_luts(tabs, masks, lut_cap: int):
+    """Device-side flat LUT construction from the canonical description
+    (_canon_tables packing, (B, 48+nsyms) i32). For every peek value the
+    code length is found by 15 vectorized canonical-range compares (no
+    gathers), then ONE symtab gather yields the symbol: the 2^maxlen flat
+    table never crosses the host link, and decode keeps its one-gather-
+    per-symbol hot path. Entries are sym<<4|len, -16 invalid — identical
+    to the host zng_fill_lut layout."""
+    counts = tabs[:, 0:16]
+    first = tabs[:, 16:32]
+    index = tabs[:, 32:48]
+    symtab = tabs[:, 48:]
+    nsyms = symtab.shape[1]
+    B = tabs.shape[0]
+    p = jnp.arange(lut_cap, dtype=I32)[None, :]
+    # bit-reverse the low 15 bits of p (the first-received bit becomes the
+    # code's MSB)
+    rev = p
+    rev = ((rev & 0x5555) << 1) | ((rev >> 1) & 0x5555)
+    rev = ((rev & 0x3333) << 2) | ((rev >> 2) & 0x3333)
+    rev = ((rev & 0x0F0F) << 4) | ((rev >> 4) & 0x0F0F)
+    rev = ((rev & 0x00FF) << 8) | ((rev >> 8) & 0x00FF)
+    rev15 = rev >> 1                                   # 16-bit rev -> 15
+    w = jax.lax.population_count(masks)[:, None]       # (B, 1) table width
+    rev_w = rev15 >> (15 - w)
+    best_l = jnp.zeros((B, lut_cap), I32)
+    best_off = jnp.zeros((B, lut_cap), I32)
+    found = jnp.zeros((B, lut_cap), bool)
+    for l in range(1, 16):
+        c = rev_w >> jnp.clip(w - l, 0, 15)
+        off = c - first[:, l:l + 1]
+        valid = (off >= 0) & (off < counts[:, l:l + 1]) & (l <= w)
+        take = valid & ~found
+        best_l = jnp.where(take, l, best_l)
+        best_off = jnp.where(take, index[:, l:l + 1] + off, best_off)
+        found = found | take
+    sym = jnp.take_along_axis(symtab, jnp.clip(best_off, 0, nsyms - 1),
+                              axis=1)
+    return jnp.where(found, (sym << 4) | best_l, -16)
+
+
+@functools.partial(jax.jit, static_argnames=("cb", "lit_cap", "dist_cap"))
+def _phase_a(comp, byte_starts, lit_tabs, dist_tabs, start_bits, lit_masks,
+             dist_masks, cb, lit_cap=1 << 15, dist_cap=1 << 15):
+    """comp (C,) u8 — the WHOLE padded compressed stream, uploaded once per
+    decode (and shared with phase B); lanes of `cb` bytes are sliced
+    in-graph at byte_starts (B,). lit_tabs/dist_tabs are _canon_tables
+    packings ((B, 336)/(B, 78) i32) from which the flat variable-width
+    LUTs (the inftrees.c:30-295 analog) are built ON DEVICE
+    (_build_flat_luts), sized lit_cap/dist_cap to the wave's widest table;
+    only peeks masked by lit_masks[b]/dist_masks[b] are read per lane.
+    start_bits (B,) i32 bit offset of the first symbol within its lane.
+    Returns per-lane compacted token arrays (kind i8; aux u32 packed
+    length<<16|dist for matches, symbol for literals — 5 B/token on the
+    host link instead of 16), counts, and the first EOB/invalid token's
+    (index, kind, end-bit) found on device so the host fetches scalars,
+    not the (B, T_CAP) end array. Transfer economics drove all of this:
+    the axon host link measures ~10 MB/s, and per-wave flat-LUT uploads
+    alone were 2 MB in the old layout (~1 KiB of canonical tables now).
 
     Peeks are on-demand 32-bit word reads (w32[p>>3] >> (p&7)) instead of
     a materialized (B, N-bits) peek matrix: the 32-bit word at a symbol's
     byte covers its code (<=15 bits) plus length extras (<=5) from any bit
     offset (15+5+7 <= 32), so the literal/length half needs NO dynamic
     gather at all — only the distance code/extras (starting <=20 bits in)
-    read through two word gathers. This drops phase A's per-bit cost from
-    ~16 peek-build adds + 5 row gathers to ~1 build op + 3 gathers."""
-    B, CB = lane_bytes.shape
+    read through two word gathers."""
+    B = byte_starts.shape[0]
+    CB = cb
+    lane_bytes = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(comp, (s,), (CB,)))(byte_starts)
+    lit_luts = _build_flat_luts(lit_tabs, lit_masks, lit_cap)
+    dist_luts = _build_flat_luts(dist_tabs, dist_masks, dist_cap)
     N = CB * 8
     T_CAP = N // 4
     U32_ = jnp.uint32
@@ -120,7 +175,8 @@ def _phase_a(lane_bytes, lit_luts, dist_luts, start_bits, lit_masks,
 
     # literal/length decode at every position (one LUT gather, masked to
     # each lane's table width)
-    ent = jnp.take_along_axis(lit_luts, wd & lit_masks[:, None], axis=1)
+    ent = jnp.take_along_axis(lit_luts, wd & lit_masks[:, None],
+                              axis=1).astype(I32)
     nb = ent & 15
     sym = ent >> 4
     invalid = ent < 0
@@ -140,7 +196,7 @@ def _phase_a(lane_bytes, lit_luts, dist_luts, start_bits, lit_masks,
     q = pos + nb + e_l
     wq = jnp.take_along_axis(w32p, jnp.minimum(q >> 3, CBP - 1), axis=1)
     dpk = (wq >> (q & 7).astype(U32_)).astype(I32) & dist_masks[:, None]
-    dent = jnp.take_along_axis(dist_luts, dpk, axis=1)
+    dent = jnp.take_along_axis(dist_luts, dpk, axis=1).astype(I32)
     dnb = dent & 15
     dsym = dent >> 4
     invalid = invalid | (is_len & ((dent < 0) | (dsym > 29)))
@@ -161,7 +217,9 @@ def _phase_a(lane_bytes, lit_luts, dist_luts, start_bits, lit_masks,
     kind = jnp.where(invalid, K_INVALID,
                      jnp.where(is_eob, K_EOB,
                                jnp.where(is_len, K_MATCH, K_LIT)))
-    litlen = jnp.where(is_len, length, sym)
+    # packed payload: match -> length<<16 | dist (length <= 258,
+    # dist <= 32768 both fit 16 bits); literal -> symbol
+    packed = jnp.where(is_len, (length << 16) | dist, sym).astype(jnp.uint32)
     tend = pos + consumed
 
     # in-order compaction: rank-scatter into fixed-size token arrays
@@ -171,12 +229,19 @@ def _phase_a(lane_bytes, lit_luts, dist_luts, start_bits, lit_masks,
     def compact(v, idx):
         return jnp.zeros(T_CAP, v.dtype).at[idx].set(v, mode='drop')
 
-    tok_kind = jax.vmap(compact)(kind, sidx)
-    tok_litlen = jax.vmap(compact)(litlen, sidx)
-    tok_dist = jax.vmap(compact)(dist, sidx)
+    tok_kind = jax.vmap(compact)(kind.astype(jnp.int8), sidx)
+    tok_aux = jax.vmap(compact)(packed, sidx)
     tok_end = jax.vmap(compact)(tend, sidx)
     ntok = sel.sum(axis=1)
-    return tok_kind, tok_litlen, tok_dist, tok_end, ntok
+    # first EOB/invalid token per lane, resolved on device: the host only
+    # ever reads end[] at this one index
+    tk_i32 = tok_kind.astype(I32)
+    iota = jnp.arange(T_CAP, dtype=I32)[None, :]
+    spec_idx = jnp.min(jnp.where(tk_i32 >= K_EOB, iota, T_CAP), axis=1)
+    safe = jnp.minimum(spec_idx, T_CAP - 1)
+    spec_kind = jnp.take_along_axis(tk_i32, safe[:, None], axis=1)[:, 0]
+    spec_end = jnp.take_along_axis(tok_end, safe[:, None], axis=1)[:, 0]
+    return tok_kind, tok_aux, ntok, spec_idx, spec_kind, spec_end
 
 
 # ---------------------------------------------------------------------------
@@ -217,8 +282,20 @@ def _phase_b(kind, aux, olen, comp, dictv, dict_len, wsize, out_cap):
     val = jnp.where(j < _DPAD, v_dict, jnp.where(k == B_LIT, a, v_sto))
 
     ptr = jnp.where(is_m, jnp.clip(src, 0, out_cap - 1), j)
-    for _ in range(max(1, int(np.ceil(np.log2(out_cap))))):
-        ptr = jnp.take(ptr, ptr)
+
+    # pointer doubling to fixpoint: chains shrink quadratically, and most
+    # copy chains resolve in far fewer than the log2(out_cap) worst-case
+    # rounds — the convergence test (one reduction) is cheaper than the
+    # guaranteed-dead extra gather rounds
+    def _cond(st):
+        return st[1]
+
+    def _body(st):
+        p, _ = st
+        nxt = jnp.take(p, p)
+        return nxt, jnp.any(nxt != p)
+
+    ptr, _ = jax.lax.while_loop(_cond, _body, (ptr, jnp.bool_(True)))
     out = jnp.take(val, ptr).astype(jnp.uint8)
     return out, bad.any()
 
@@ -242,12 +319,54 @@ class _Cursor:
         self.final = False           # current block's BFINAL
 
 
+def _canon_tables(lengths: np.ndarray, nsyms: int) -> tuple[np.ndarray, int]:
+    """Canonical-code description of one Huffman table, packed for the
+    device LUT builder: [counts(16) | first(16) | index(16) | symtab] i32.
+    symtab = symbols sorted by (length, symbol); first/index are the RFC
+    1951 3.2.2 canonical first-code and symbol-base per length. Returns
+    (packed (48 + nsyms,) i32, max_len). ~1 KiB per block on the host
+    link instead of the 2^maxlen flat LUT (up to 128 KiB)."""
+    ln = lengths[:nsyms]
+    counts = np.bincount(ln, minlength=16)[:16].astype(np.int64)
+    counts[0] = 0
+    first = np.zeros(16, np.int64)
+    index = np.zeros(16, np.int64)
+    code = 0
+    idx = 0
+    for l in range(1, 16):
+        first[l] = code
+        index[l] = idx
+        idx += counts[l]
+        code = (code + counts[l]) << 1
+    used = np.nonzero(ln > 0)[0]
+    order = used[np.argsort(ln[used], kind="stable")]
+    symtab = np.zeros(nsyms, np.int64)
+    symtab[:order.size] = order
+    w = int(ln.max()) if used.size else 1
+    return np.concatenate([counts, first, index, symtab]).astype(np.int32), w
+
+
+@functools.lru_cache(maxsize=4)
+def _fixed_canon():
+    """Canonical descriptions of the RFC fixed trees."""
+    lit = np.zeros(288, np.int32)
+    lit[0:144] = 8
+    lit[144:256] = 9
+    lit[256:280] = 7
+    lit[280:288] = 8
+    dist = np.full(30, 5, np.int32)
+    return _canon_tables(lit, 288), _canon_tables(dist, 30)
+
+
 def _parse_header(inf: RawInflater, cur: _Cursor):
     """Parse one block header at cur.pos using the shared host parser.
-    Returns ('stored', start_byte, length) | ('huff', lit_np, dist_np,
-    sym_start_bit). Raises InflateError exactly as inflate does."""
+    Returns ('stored', start_byte, length) | ('huff', lit_tabs, dist_tabs,
+    (wl, wd), sym_start_bit) where *_tabs are _canon_tables packings (the
+    device rebuilds the flat LUTs in-graph). Raises InflateError exactly
+    as inflate does."""
     inf.bitpos = cur.pos
     inf.state = _S_BLOCK_HEADER
+    inf._last_lengths = None
     r = inf._read_block_header(finish=True)
     if r is NEED_INPUT:
         raise InflateError("unexpected end of stream")
@@ -260,13 +379,13 @@ def _parse_header(inf: RawInflater, cur: _Cursor):
         cur.pos = inf.bitpos + 8 * length
         return ("stored", start_byte, length)
     assert inf.state == _S_HUFF
-    # Copy the valid (variable-width) prefix of each table: the native
-    # parser reuses its LUT buffers across blocks, so the arrays on `inf`
-    # alias the NEXT parse by the time lanes are batched for dispatch.
-    wl, wd = inf._lut_bits
-    lit = np.array(inf.lit_lut[:1 << wl], dtype=np.int32)
-    dist = np.array(inf.dist_lut[:1 << wd], dtype=np.int32)
-    return ("huff", lit, dist, (wl, wd), inf.bitpos)
+    if inf._last_lengths is None:          # fixed (btype 1) block
+        (lt, wl), (dt, wd) = _fixed_canon()
+        return ("huff", lt, dt, (wl, wd), inf.bitpos)
+    lengths, hlit, hdist = inf._last_lengths
+    lt, wl = _canon_tables(lengths[:hlit], hlit)
+    dt, wd = _canon_tables(lengths[hlit:hlit + hdist], hdist)
+    return ("huff", lt, dt, (wl, wd), inf.bitpos)
 
 
 def _advance_host(inf: RawInflater, cur: _Cursor):
@@ -290,32 +409,33 @@ def _advance_host(inf: RawInflater, cur: _Cursor):
     return None
 
 
-def _accept_tokens(cur: _Cursor, kind, litlen, dist, end, ntok,
+def _accept_tokens(cur: _Cursor, kind_row, aux_row, ntok, spec_idx,
+                   spec_kind, spec_end, t_cap: int,
                    base_bit: int, real_bits: int) -> bool:
-    """Interpret one lane's phase-A output. Returns True if the block was
-    fully decoded (cursor advanced), False to retry with a bigger lane."""
+    """Interpret one lane's phase-A output (kind i8 + packed aux u32 rows,
+    fetched only up to the wave's longest consumed prefix; the first
+    special token's index/kind/end arrive as device-computed scalars).
+    Returns True if the block was fully decoded (cursor advanced), False
+    to retry with a bigger lane."""
     n = int(ntok)
-    t_cap = kind.shape[0]
     if n >= t_cap:
         return False                     # token-array saturation: go bigger
-    kinds = kind[:n]
-    specials = np.nonzero(kinds >= K_EOB)[0]
-    if specials.size == 0:
+    s = int(spec_idx)
+    if s >= n:                           # no EOB/invalid among real tokens
         if real_bits < 4 * t_cap:        # lane already covers stream end
             raise _Fallback                # no EOB before end: corrupt
         return False                     # block larger than lane: go bigger
-    s = int(specials[0])
-    if kinds[s] == K_INVALID:
+    if spec_kind == K_INVALID:
         raise _Fallback                    # exact error via serial re-run
-    eob_end = int(end[s])
+    eob_end = int(spec_end)
     if eob_end > real_bits:
         raise _Fallback                    # EOB read past true end: truncated
     if s:
-        k = kinds[:s].copy()
-        ll = litlen[:s].astype(np.int32)
-        dd = dist[:s].astype(np.int32)
-        aux = np.where(k == K_LIT, ll, dd)
-        olen = np.where(k == K_LIT, 1, ll)
+        k = kind_row[:s].astype(np.int32)
+        packed = aux_row[:s].astype(np.int64)
+        is_lit = k == K_LIT
+        aux = np.where(is_lit, packed, packed & 0xFFFF).astype(np.int32)
+        olen = np.where(is_lit, 1, packed >> 16).astype(np.int32)
         cur.toks.append((k, aux, olen))
         cur.total_out += int(olen.sum())
     cur.pos = base_bit + eob_end
@@ -324,12 +444,29 @@ def _accept_tokens(cur: _Cursor, kind, litlen, dist, end, ntok,
     return True
 
 
-def _phase_a_default(lanes, lits, dists, starts, lit_masks, dist_masks):
-    """Single-device phase A dispatch (numpy in/out)."""
-    outs = _phase_a(jnp.asarray(lanes), jnp.asarray(lits), jnp.asarray(dists),
-                    jnp.asarray(starts), jnp.asarray(lit_masks),
-                    jnp.asarray(dist_masks))
-    return tuple(np.asarray(o) for o in outs)
+def _phase_a_default(comp_j, byte_starts, lits, dists, start_bits,
+                     lit_masks, dist_masks, cb, lit_cap, dist_cap):
+    """Single-device phase A dispatch. Fetches the tiny per-lane scalars
+    first, then ONE bulk fetch of the kind/aux prefixes actually consumed
+    (the (B, T_CAP) caps are ~5x the typical token count)."""
+    tk, ta, nt, si, sk, se = _phase_a(
+        comp_j, jnp.asarray(byte_starts), jnp.asarray(lits),
+        jnp.asarray(dists), jnp.asarray(start_bits), jnp.asarray(lit_masks),
+        jnp.asarray(dist_masks), cb, lit_cap, dist_cap)
+    nt_n = np.asarray(nt)
+    si_n = np.asarray(si)
+    sk_n = np.asarray(sk)
+    se_n = np.asarray(se)
+    used = np.where((si_n < nt_n) & (sk_n == K_EOB), si_n, 0)
+    mx = int(used.max()) if used.size else 0
+    if mx > 0:
+        tk_n = np.asarray(tk[:, :mx])
+        ta_n = np.asarray(ta[:, :mx])
+    else:
+        B = nt_n.shape[0]
+        tk_n = np.zeros((B, 0), np.int8)
+        ta_n = np.zeros((B, 0), np.uint32)
+    return tk_n, ta_n, nt_n, si_n, sk_n, se_n
 
 
 def _decode_segments(comp: bytes, seg_bounds, dictionary: bytes | None,
@@ -349,8 +486,25 @@ def _decode_segments(comp: bytes, seg_bounds, dictionary: bytes | None,
     parser.feed(comp)
     cursors = [_Cursor(s, e) for s, e in seg_bounds]
     max_bucket = len(_CB_BUCKETS) - 1
+    # a block never outlives its segment, so start each cursor at the
+    # bucket that covers the segment's compressed size — the old
+    # start-at-smallest policy burned one full (dispatch + fetch) wave per
+    # undersized bucket before any token landed
+    for cur in cursors:
+        seg_bytes = (((cur.end_bit if cur.end_bit is not None
+                       else 8 * len(comp)) - cur.pos) + 7) // 8
+        while cur.bucket < max_bucket \
+                and _CB_BUCKETS[cur.bucket] < seg_bytes:
+            cur.bucket += 1
     if phase_a_fn is None:
         phase_a_fn = _phase_a_default
+
+    # the compressed stream goes up ONCE, shared by every phase-A wave
+    # (lanes are sliced on device) and by phase B's stored-run gathers
+    comp_cap = max(2048, 1 << (len(comp) - 1).bit_length()) if comp else 2048
+    comp_pad = np.zeros(comp_cap, np.uint8)
+    comp_pad[:len(comp)] = comp_np
+    comp_j = jnp.asarray(comp_pad)
 
     while True:
         # host: headers + stored blocks; collect lanes needing the device
@@ -369,34 +523,41 @@ def _decode_segments(comp: bytes, seg_bounds, dictionary: bytes | None,
         for cur, hdr in pend:
             by_bucket.setdefault(cur.bucket, []).append((cur, hdr))
         for bucket, group in by_bucket.items():
-            cb = _CB_BUCKETS[bucket]
+            cb = min(_CB_BUCKETS[bucket], comp_cap)
             B = len(group)
             Bpad = 1 << (B - 1).bit_length()
-            lanes = np.zeros((Bpad, cb), np.uint8)
-            lits = np.zeros((Bpad, 1 << 15), np.int32)
-            dists = np.zeros((Bpad, 1 << 15), np.int32)
-            starts = np.zeros(Bpad, np.int32)
+            # device LUT build size: the wave's widest table (pow2 bucket)
+            lit_cap = dist_cap = 512
+            for _, (_, _lt, _dt, (wl, wd), _) in group:
+                lit_cap = max(lit_cap, 1 << wl)
+                dist_cap = max(dist_cap, 1 << wd)
+            lits = np.zeros((Bpad, 48 + 288), np.int32)
+            dists = np.zeros((Bpad, 48 + 30), np.int32)
+            byte_starts = np.zeros(Bpad, np.int32)
+            start_bits = np.zeros(Bpad, np.int32)
             # default mask 0 for padding lanes (reads only entry 0)
             lit_masks = np.zeros(Bpad, np.int32)
             dist_masks = np.zeros(Bpad, np.int32)
             meta = []
             for i, (cur, (_, lit, dist, (wl, wd), sym_bit)) in enumerate(group):
-                base_byte = sym_bit >> 3
-                chunk = comp_np[base_byte:base_byte + cb]
-                lanes[i, :chunk.size] = chunk
+                base_byte = min(sym_bit >> 3, comp_cap - cb)
                 lits[i, :lit.size] = lit
                 dists[i, :dist.size] = dist
                 lit_masks[i] = (1 << wl) - 1
                 dist_masks[i] = (1 << wd) - 1
-                starts[i] = sym_bit - 8 * base_byte
-                meta.append((cur, 8 * base_byte, 8 * chunk.size))
-            tk, tl, td, te, nt = phase_a_fn(lanes, lits, dists, starts,
-                                            lit_masks, dist_masks)
+                byte_starts[i] = base_byte
+                start_bits[i] = sym_bit - 8 * base_byte
+                real = 8 * (min(len(comp) - base_byte, cb))
+                meta.append((cur, 8 * base_byte, real))
+            tk, ta, nt, si_, sk, se = phase_a_fn(
+                comp_j, byte_starts, lits, dists, start_bits,
+                lit_masks, dist_masks, cb, lit_cap, dist_cap)
             for i, (cur, base_bit, real_bits) in enumerate(meta):
-                ok = _accept_tokens(cur, tk[i], tl[i], td[i], te[i], nt[i],
-                                    base_bit, real_bits)
+                ok = _accept_tokens(cur, tk[i], ta[i], nt[i], si_[i], sk[i],
+                                    se[i], 2 * cb, base_bit, real_bits)
                 if not ok:
-                    if cur.bucket >= max_bucket:
+                    if cur.bucket >= max_bucket \
+                            or _CB_BUCKETS[cur.bucket] >= comp_cap:
                         raise _Fallback      # pathological block size
                     cur.bucket += 1
 
@@ -405,42 +566,31 @@ def _decode_segments(comp: bytes, seg_bounds, dictionary: bytes | None,
     dictv = np.zeros(1 << 15, np.uint8)
     if dict_bytes:
         dictv[-len(dict_bytes):] = np.frombuffer(dict_bytes, np.uint8)
-    comp_cap = max(1024, 1 << (len(comp) - 1).bit_length()) if comp else 1024
-    comp_pad = np.zeros(comp_cap, np.uint8)
-    comp_pad[:len(comp)] = comp_np
     dictv_j = jnp.asarray(dictv)
-    comp_j = jnp.asarray(comp_pad)
 
-    if phase_b_fn is not None:
-        return _phase_b_batched(cursors, dict_bytes, comp_j, dictv_j, wsize,
-                                phase_b_fn)
+    return _phase_b_batched(cursors, dict_bytes, comp_j, dictv_j, wsize,
+                            phase_b_fn or _phase_b_default)
 
-    outputs, end_bits = [], []
-    for si, cur in enumerate(cursors):
-        if not cur.toks:
-            outputs.append(b"")
-            end_bits.append(cur.pos)
-            continue
-        kind = np.concatenate([t[0] for t in cur.toks])
-        aux = np.concatenate([t[1] for t in cur.toks])
-        olen = np.concatenate([t[2] for t in cur.toks])
-        t_cap = max(1 << 10, 1 << (len(kind) - 1).bit_length())
-        pad = t_cap - len(kind)
-        if pad:
-            z = np.zeros(pad, np.int32)
-            kind, aux, olen = (np.concatenate([kind, z]),
-                               np.concatenate([aux, z]),
-                               np.concatenate([olen, z]))
-        out_cap = 1 << int(np.ceil(np.log2(_DPAD + cur.total_out + 1)))
-        dlen = len(dict_bytes) if si == 0 else 0
-        out, bad = _phase_b(jnp.asarray(kind), jnp.asarray(aux),
-                            jnp.asarray(olen), comp_j, dictv_j,
-                            np.int32(dlen), np.int32(wsize), out_cap)
-        if bool(bad):
-            raise _Fallback                  # exact message via serial path
-        outputs.append(np.asarray(out)[_DPAD:_DPAD + cur.total_out].tobytes())
-        end_bits.append(cur.pos)
-    return outputs, end_bits
+
+def _phase_b_default(kinds, auxs, olens, comp_j, dictv_j, dict_lens, wsize,
+                     out_cap):
+    """Single-device batched phase B: ONE dispatch for all segments (the
+    old per-segment loop paid a full tunnel round trip each), one bulk
+    fetch of the output region past the window pad."""
+    out, bad = _phase_b_multi(
+        jnp.asarray(kinds), jnp.asarray(auxs), jnp.asarray(olens),
+        comp_j, dictv_j, jnp.asarray(dict_lens),
+        jnp.int32(wsize), out_cap)
+    return np.asarray(out[:, _DPAD:]), np.asarray(bad)
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def _phase_b_multi(kinds, auxs, olens, comp, dictv, dict_lens, wsize,
+                   out_cap):
+    out, bad = jax.vmap(
+        lambda k, a, o, dl: _phase_b(k, a, o, comp, dictv, dl, wsize,
+                                     out_cap))(kinds, auxs, olens, dict_lens)
+    return out, bad
 
 
 def _phase_b_batched(cursors, dict_bytes, comp_j, dictv_j, wsize,
@@ -471,9 +621,10 @@ def _phase_b_batched(cursors, dict_bytes, comp_j, dictv_j, wsize,
                                 wsize, out_cap)
         if bool(np.asarray(bads).any()):
             raise _Fallback
+        # contract: outs rows are numpy, starting AT the data (the _DPAD
+        # window-pad region is sliced off device-side before the fetch)
         for j, (si, cur) in enumerate(live):
-            outputs[si] = np.asarray(
-                outs[j])[_DPAD:_DPAD + cur.total_out].tobytes()
+            outputs[si] = outs[j][:cur.total_out].tobytes()
     return outputs, end_bits
 
 

@@ -404,15 +404,19 @@ def compress_multichip(data: bytes, mesh: Mesh, level: int = 6,
 # ---------------------------------------------------------------------------
 # sharded batch decode (phase A/B over the mesh)
 # ---------------------------------------------------------------------------
-def make_decode_phase_a(mesh: Mesh, axis: str = "d"):
+def make_decode_phase_a(mesh: Mesh, cb: int, lit_cap: int, dist_cap: int,
+                        axis: str = "d"):
     """Sharded phase A: speculative token resolution over lanes distributed
-    across the mesh (ops/inflate_tpu._phase_a per shard). Lane batch must
-    be divisible by mesh size."""
+    across the mesh (ops/inflate_tpu._phase_a per shard; the compressed
+    stream is replicated, per-lane canonical tables/starts shard). Lane
+    batch must be divisible by mesh size."""
     from ..ops.inflate_tpu import _phase_a
     core = _phase_a.__wrapped__
 
-    smapped = _shard_map(lambda *a: core(*a), mesh,
-                         (P(axis),) * 6, (P(axis),) * 5)
+    smapped = _shard_map(
+        lambda comp, *a: core(comp, *a, cb=cb, lit_cap=lit_cap,
+                              dist_cap=dist_cap),
+        mesh, (P(),) + (P(axis),) * 6, (P(axis),) * 6)
     return jax.jit(smapped)
 
 
@@ -454,13 +458,14 @@ def decompress_segments_multichip(blob: bytes, start_bytes, mesh: Mesh,
         to_host = np.asarray
 
     ndev = mesh.devices.size
-    pa = make_decode_phase_a(mesh, axis=axis)
+    pa_cache: dict[int, object] = {}
     pb_cache: dict[int, object] = {}
     sp = P(axis)
     rp = P()
 
-    def phase_a_pad(lanes, lits, dists, starts, lm, dm):
-        B = lanes.shape[0]
+    def phase_a_pad(comp_j, byte_starts, lits, dists, start_bits, lm, dm,
+                    cb, lit_cap, dist_cap):
+        B = byte_starts.shape[0]
         Bp = -(-B // ndev) * ndev
         if Bp != B:
             pad = Bp - B
@@ -468,10 +473,21 @@ def decompress_segments_multichip(blob: bytes, start_bytes, mesh: Mesh,
             def padz(x):
                 return np.concatenate(
                     [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
-            lanes, lits, dists = padz(lanes), padz(lits), padz(dists)
-            starts, lm, dm = padz(starts), padz(lm), padz(dm)
-        outs = pa(to_dev(lanes, sp), to_dev(lits, sp), to_dev(dists, sp),
-                  to_dev(starts, sp), to_dev(lm, sp), to_dev(dm, sp))
+            lits, dists = padz(lits), padz(dists)
+            byte_starts, start_bits = padz(byte_starts), padz(start_bits)
+            lm, dm = padz(lm), padz(dm)
+        key = (cb, lit_cap, dist_cap)
+        if key not in pa_cache:
+            pa_cache[key] = make_decode_phase_a(mesh, cb, lit_cap, dist_cap,
+                                                axis=axis)
+        if default_placement:
+            comp_g = comp_j
+        else:  # multi-host: replicate the blob as a global array
+            comp_g = to_dev(np.asarray(comp_j), rp)
+        outs = pa_cache[key](comp_g, to_dev(byte_starts, sp),
+                             to_dev(lits, sp), to_dev(dists, sp),
+                             to_dev(start_bits, sp), to_dev(lm, sp),
+                             to_dev(dm, sp))
         return tuple(to_host(o)[:B] for o in outs)
 
     def phase_b_batched(kinds, auxs, olens, comp_j, dictv_j, dict_lens,
@@ -497,7 +513,8 @@ def decompress_segments_multichip(blob: bytes, start_bytes, mesh: Mesh,
             to_dev(kinds, sp), to_dev(auxs, sp), to_dev(olens, sp),
             comp_g, dictv_g, to_dev(dict_lens, sp),
             to_dev(np.full(1, wsize, np.int32), rp))
-        return to_host(out)[:S], to_host(bad)[:S]
+        # contract: rows start AT the data (window pad sliced off on device)
+        return to_host(out[:, IT._DPAD:])[:S], to_host(bad)[:S]
 
     ran = {"a": False, "b": False}
 

@@ -119,6 +119,7 @@ class RawInflater:
         self._lut_bufs = None  # reused native LUT buffers (dynamic blocks)
         self.dist_lut = None
         self._lut_bits = (15, 15)  # table widths for the native peek masks
+        self._last_lengths = None  # (lengths, hlit, hdist) of last dyn block
         self._lut_list = None  # cached list LUTs for the Python fallback
         self.codes_used = 0  # inflateCodesUsed analog: symbols decoded
         # whole-stream native engine state (zng_inflate_stream): resumable
@@ -397,6 +398,7 @@ class RawInflater:
             except InvalidCodeError:
                 raise InflateError("invalid distances set")
             self._lut_bits = (15, 15)
+            self._last_lengths = (lengths, hlit, hdist)
             return None
         except _Rollback:
             self.bitpos = save
@@ -441,6 +443,9 @@ class RawInflater:
         self.lit_lut = lit_buf
         self.dist_lut = dist_buf
         self._lut_bits = (int(lut_bits[0]), int(lut_bits[1]))
+        # retained for the device decoder: it rebuilds flat LUTs ON DEVICE
+        # from the canonical description (ops/inflate_tpu._parse_header)
+        self._last_lengths = (lengths, int(hlit.value), int(hdist.value))
         return None
 
     def _copy_stored(self, finish: bool):
