@@ -128,6 +128,7 @@ def _stage2(flat, tok_len, tok_dist, sel,
     there anyway, and keeping the device token count at exactly UNIT avoids
     padding the pack tree to the next power of two — a 2x cost).
     Table shapes carry a leading (B, QPL) and packing returns (B, QPL, …)."""
+    from .bitpack_jax import _or_field
     from .lz77_jax import (
         dist_code_arith, dist_extra_arith, length_code_arith,
         length_extra_arith, lookup2d, lookup_via_onehot, onehot_i8,
@@ -151,16 +152,26 @@ def _stage2(flat, tok_len, tok_dist, sel,
         is_match = (tl > 0) & se
         lsm = jnp.where(is_match, length_code_arith(jnp.maximum(tl, 3)), 257)
         dsm = jnp.where(is_match, dist_code_arith(jnp.maximum(td, 1)), 0)
-        le_, _ = length_extra_arith(jnp.maximum(tl, 3))
-        de_, _ = dist_extra_arith(jnp.maximum(td, 1))
-        lcost = lookup_via_onehot(
-            onehot_i8(lsm - 257, 32),
-            jnp.concatenate([lt[257:287], jnp.zeros(2, I32)])[:, None])[:, 0]
-        dcost = lookup_via_onehot(
-            onehot_i8(dsm, 32),
-            jnp.concatenate([dt, jnp.zeros(2, I32)])[:, None])[:, 0]
-        match_bits = lcost + le_ + dcost + de_
-        lit_bits = lookup2d(qbytes.astype(I32), lt[:, None], 18)[:, 0]
+        le_, lv_ = length_extra_arith(jnp.maximum(tl, 3))
+        de_, dv_ = dist_extra_arith(jnp.maximum(td, 1))
+        # shared (code, len) lookups — demotion reads the len columns,
+        # the final render reads both, so each table is looked up ONCE
+        # (the old structure re-looked-up post-demotion symbols; demotion
+        # only ever flips match -> literal and both variants are in hand)
+        lit_tab = jnp.stack([lc.astype(I32), lt.astype(I32)], axis=1)
+        lit_full = lookup2d(qbytes.astype(I32), lit_tab, 18)       # (N, 2)
+        len_tab = jnp.stack([
+            jnp.concatenate([lc[257:287].astype(I32), jnp.zeros(2, I32)]),
+            jnp.concatenate([lt[257:287].astype(I32), jnp.zeros(2, I32)]),
+        ], axis=1)
+        mr = lookup_via_onehot(onehot_i8(lsm - 257, 32), len_tab)  # (N, 2)
+        dist_tab = jnp.stack([
+            jnp.concatenate([dc.astype(I32), jnp.zeros(2, I32)]),
+            jnp.concatenate([dt.astype(I32), jnp.zeros(2, I32)]),
+        ], axis=1)
+        dr = lookup_via_onehot(onehot_i8(dsm, 32), dist_tab)       # (N, 2)
+        match_bits = mr[:, 1] + le_ + dr[:, 1] + de_
+        lit_bits = lit_full[:, 1]
         csum = jnp.cumsum(jnp.stack([lit_bits,
                                      (lit_bits == 0).astype(I32)], axis=1),
                           axis=0)
@@ -173,14 +184,28 @@ def _stage2(flat, tok_len, tok_dist, sel,
         end_max = jax.lax.cummax(jnp.where(demote, pos + tl, 0))
         covered = pos < end_max
         se = se | covered
-        tl = jnp.where(covered, 0, tl)
-        td = jnp.where(covered, 0, td)
 
-        is_match = tl > 0
-        ls = jnp.where(is_match, length_code_arith(jnp.maximum(tl, 3)),
-                       qbytes.astype(I32))
-        ds = jnp.where(is_match, dist_code_arith(jnp.maximum(td, 1)), 0)
-        lo, hi, nb = render_body_tokens(tl, td, ls, ds, se, lt, lc, dt, dc)
+        # final render from the shared lookups (no second table pass)
+        fm = is_match & ~covered
+        code0 = jnp.where(fm, mr[:, 0], lit_full[:, 0]).astype(U32)
+        n0 = jnp.where(fm, mr[:, 1], lit_full[:, 1])
+        le = jnp.where(fm, le_, 0)
+        lv = jnp.where(fm, lv_, 0).astype(U32)
+        dcode = jnp.where(fm, dr[:, 0], 0).astype(U32)
+        dn = jnp.where(fm, dr[:, 1], 0)
+        de = jnp.where(fm, de_, 0)
+        dv = jnp.where(fm, dv_, 0).astype(U32)
+        lo = code0
+        hi = jnp.zeros_like(code0)
+        sh = n0
+        lo, hi = _or_field(lo, hi, lv, sh)
+        sh = sh + le
+        lo, hi = _or_field(lo, hi, dcode, sh)
+        sh = sh + dn
+        lo, hi = _or_field(lo, hi, dv, sh)
+        nb = jnp.where(se, n0 + le + dn + de, 0)
+        lo = jnp.where(se, lo, 0)
+        hi = jnp.where(se, hi, 0)
         return hierarchical_pack(lo, hi, nb, out_bytes, max_cover)
 
     qpl = lane_block // UNIT
