@@ -75,9 +75,9 @@ U32 = jnp.uint32
 # ---------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("lane_block", "chain", "lazy",
                                               "max_lazy", "nice", "strategy",
-                                              "good"))
+                                              "good", "quick"))
 def _stage1(flat, enc_ends, hist_valids, lane_block, chain, lazy, max_lazy,
-            nice=258, strategy=0, good=12):
+            nice=258, strategy=0, good=12, quick=False):
     """flat: (LANE_HIST + B*lane_block,) u8 — the group's payload uploaded
     ONCE; lanes (with their 32K overlapping history prefixes) are assembled
     in-graph by dynamic slices. The old per-lane host assembly re-uploaded
@@ -111,15 +111,107 @@ def _stage1(flat, enc_ends, hist_valids, lane_block, chain, lazy, max_lazy,
     compact = dict(sel=outs["sel"].astype(bool),
                    tok_len=outs["tok_len"].astype(jnp.uint16),
                    tok_dist=outs["tok_dist"].astype(jnp.uint16))
+    if quick:
+        # fixed-tree path: the host only needs each unit's EXACT static
+        # body-bit count (stored choice + output bucket) — one small
+        # matmul on device instead of a (B, qpl, 316) frequency fetch
+        lext = jnp.zeros(286, I32).at[257:286].set(
+            jnp.asarray(LENGTH_EXTRA[:29].astype(np.int32)))
+        dext = jnp.asarray(DIST_EXTRA[:30].astype(np.int32))
+        lw = jnp.asarray(FIXED_LIT_LENGTHS[:286].astype(np.int32)) + lext
+        dw = jnp.asarray(FIXED_DIST_LENGTHS.astype(np.int32)) + dext
+        fb = (lfreqs.astype(I32) @ lw + dfreqs.astype(I32) @ dw)
+        return compact, fb, fb
     # per-unit counts are <= UNIT (16384): uint16 halves the host fetch
     return compact, lfreqs.astype(jnp.uint16), dfreqs.astype(jnp.uint16)
 
 
-@functools.partial(jax.jit, static_argnames=("lane_block", "out_bytes",
-                                              "max_cover"))
+def _render_pack_unit(qbytes, tl, td, se, lt, lc, dt, dc, out_bytes):
+    """Demotion + render + pack of one 16 KiB unit against (lt, lc, dt, dc)
+    code tables — the shared core of the dynamic (_stage2) and fixed-tree
+    (_stage2_fixed) paths."""
+    from .bitpack_jax import _or_field
+    from .lz77_jax import (
+        dist_code_arith, dist_extra_arith, length_code_arith,
+        length_extra_arith, lookup2d, lookup_via_onehot, onehot_i8,
+    )
+    tl = tl.astype(I32)
+    td = td.astype(I32)
+    N = qbytes.shape[0]
+    pos = jnp.arange(N, dtype=I32)
+
+    # ---- cost-model demotion (the TOO_FAR idea made exact): with the
+    # unit's real Huffman tables in hand, re-examine every selected
+    # match — if its encoded bits exceed its span encoded as literals,
+    # demote it to literals. Under the already-chosen tables this
+    # strictly shrinks the block; the common win is the spurious
+    # short-far match on low-redundancy data (reference drops only
+    # len-3/dist>4096, deflate.c TOO_FAR; this is the general form).
+    # Matches never cross unit boundaries (lz77_lane unit cap), so all
+    # span accounting stays inside this unit.
+    is_match = (tl > 0) & se
+    lsm = jnp.where(is_match, length_code_arith(jnp.maximum(tl, 3)), 257)
+    dsm = jnp.where(is_match, dist_code_arith(jnp.maximum(td, 1)), 0)
+    le_, lv_ = length_extra_arith(jnp.maximum(tl, 3))
+    de_, dv_ = dist_extra_arith(jnp.maximum(td, 1))
+    # shared (code, len) lookups — demotion reads the len columns,
+    # the final render reads both, so each table is looked up ONCE
+    # (the old structure re-looked-up post-demotion symbols; demotion
+    # only ever flips match -> literal and both variants are in hand)
+    lit_tab = jnp.stack([lc.astype(I32), lt.astype(I32)], axis=1)
+    lit_full = lookup2d(qbytes.astype(I32), lit_tab, 18)       # (N, 2)
+    len_tab = jnp.stack([
+        jnp.concatenate([lc[257:287].astype(I32), jnp.zeros(2, I32)]),
+        jnp.concatenate([lt[257:287].astype(I32), jnp.zeros(2, I32)]),
+    ], axis=1)
+    mr = lookup_via_onehot(onehot_i8(lsm - 257, 32), len_tab)  # (N, 2)
+    dist_tab = jnp.stack([
+        jnp.concatenate([dc.astype(I32), jnp.zeros(2, I32)]),
+        jnp.concatenate([dt.astype(I32), jnp.zeros(2, I32)]),
+    ], axis=1)
+    dr = lookup_via_onehot(onehot_i8(dsm, 32), dist_tab)       # (N, 2)
+    match_bits = mr[:, 1] + le_ + dr[:, 1] + de_
+    lit_bits = lit_full[:, 1]
+    csum = jnp.cumsum(jnp.stack([lit_bits,
+                                 (lit_bits == 0).astype(I32)], axis=1),
+                      axis=0)
+    csum = jnp.concatenate([jnp.zeros((1, 2), I32), csum], axis=0)
+    endq = jnp.clip(pos + tl, 0, N)
+    at_end = csum[endq]                       # the one dynamic gather
+    span_bits = at_end[:, 0] - csum[:-1, 0]
+    span_zero = (at_end[:, 1] - csum[:-1, 1]) > 0
+    demote = is_match & ~span_zero & (match_bits > span_bits)
+    end_max = jax.lax.cummax(jnp.where(demote, pos + tl, 0))
+    covered = pos < end_max
+    se = se | covered
+
+    # final render from the shared lookups (no second table pass)
+    fm = is_match & ~covered
+    code0 = jnp.where(fm, mr[:, 0], lit_full[:, 0]).astype(U32)
+    n0 = jnp.where(fm, mr[:, 1], lit_full[:, 1])
+    le = jnp.where(fm, le_, 0)
+    lv = jnp.where(fm, lv_, 0).astype(U32)
+    dcode = jnp.where(fm, dr[:, 0], 0).astype(U32)
+    dn = jnp.where(fm, dr[:, 1], 0)
+    de = jnp.where(fm, de_, 0)
+    dv = jnp.where(fm, dv_, 0).astype(U32)
+    lo = code0
+    hi = jnp.zeros_like(code0)
+    sh = n0
+    lo, hi = _or_field(lo, hi, lv, sh)
+    sh = sh + le
+    lo, hi = _or_field(lo, hi, dcode, sh)
+    sh = sh + dn
+    lo, hi = _or_field(lo, hi, dv, sh)
+    nb = jnp.where(se, n0 + le + dn + de, 0)
+    lo = jnp.where(se, lo, 0)
+    hi = jnp.where(se, hi, 0)
+    return hierarchical_pack(lo, hi, nb, out_bytes)
+
+
+@functools.partial(jax.jit, static_argnames=("lane_block", "out_bytes"))
 def _stage2(flat, tok_len, tok_dist, sel,
-            llen_tab, lcode_tab, dlen_tab, dcode_tab, lane_block, out_bytes,
-            max_cover=8):
+            llen_tab, lcode_tab, dlen_tab, dcode_tab, lane_block, out_bytes):
     """Render + pack per UNIT (quarter-lane): every unit is an independent
     BODY bitstream against its own code tables, so the host can choose
     stored/static/dynamic and merge trees at 16 KiB granularity (the
@@ -128,86 +220,6 @@ def _stage2(flat, tok_len, tok_dist, sel,
     there anyway, and keeping the device token count at exactly UNIT avoids
     padding the pack tree to the next power of two — a 2x cost).
     Table shapes carry a leading (B, QPL) and packing returns (B, QPL, …)."""
-    from .bitpack_jax import _or_field
-    from .lz77_jax import (
-        dist_code_arith, dist_extra_arith, length_code_arith,
-        length_extra_arith, lookup2d, lookup_via_onehot, onehot_i8,
-    )
-
-    def qone(qbytes, tl, td, se, lt, lc, dt, dc):
-        tl = tl.astype(I32)
-        td = td.astype(I32)
-        N = qbytes.shape[0]
-        pos = jnp.arange(N, dtype=I32)
-
-        # ---- cost-model demotion (the TOO_FAR idea made exact): with the
-        # unit's real Huffman tables in hand, re-examine every selected
-        # match — if its encoded bits exceed its span encoded as literals,
-        # demote it to literals. Under the already-chosen tables this
-        # strictly shrinks the block; the common win is the spurious
-        # short-far match on low-redundancy data (reference drops only
-        # len-3/dist>4096, deflate.c TOO_FAR; this is the general form).
-        # Matches never cross unit boundaries (lz77_lane unit cap), so all
-        # span accounting stays inside this unit.
-        is_match = (tl > 0) & se
-        lsm = jnp.where(is_match, length_code_arith(jnp.maximum(tl, 3)), 257)
-        dsm = jnp.where(is_match, dist_code_arith(jnp.maximum(td, 1)), 0)
-        le_, lv_ = length_extra_arith(jnp.maximum(tl, 3))
-        de_, dv_ = dist_extra_arith(jnp.maximum(td, 1))
-        # shared (code, len) lookups — demotion reads the len columns,
-        # the final render reads both, so each table is looked up ONCE
-        # (the old structure re-looked-up post-demotion symbols; demotion
-        # only ever flips match -> literal and both variants are in hand)
-        lit_tab = jnp.stack([lc.astype(I32), lt.astype(I32)], axis=1)
-        lit_full = lookup2d(qbytes.astype(I32), lit_tab, 18)       # (N, 2)
-        len_tab = jnp.stack([
-            jnp.concatenate([lc[257:287].astype(I32), jnp.zeros(2, I32)]),
-            jnp.concatenate([lt[257:287].astype(I32), jnp.zeros(2, I32)]),
-        ], axis=1)
-        mr = lookup_via_onehot(onehot_i8(lsm - 257, 32), len_tab)  # (N, 2)
-        dist_tab = jnp.stack([
-            jnp.concatenate([dc.astype(I32), jnp.zeros(2, I32)]),
-            jnp.concatenate([dt.astype(I32), jnp.zeros(2, I32)]),
-        ], axis=1)
-        dr = lookup_via_onehot(onehot_i8(dsm, 32), dist_tab)       # (N, 2)
-        match_bits = mr[:, 1] + le_ + dr[:, 1] + de_
-        lit_bits = lit_full[:, 1]
-        csum = jnp.cumsum(jnp.stack([lit_bits,
-                                     (lit_bits == 0).astype(I32)], axis=1),
-                          axis=0)
-        csum = jnp.concatenate([jnp.zeros((1, 2), I32), csum], axis=0)
-        endq = jnp.clip(pos + tl, 0, N)
-        at_end = csum[endq]                       # the one dynamic gather
-        span_bits = at_end[:, 0] - csum[:-1, 0]
-        span_zero = (at_end[:, 1] - csum[:-1, 1]) > 0
-        demote = is_match & ~span_zero & (match_bits > span_bits)
-        end_max = jax.lax.cummax(jnp.where(demote, pos + tl, 0))
-        covered = pos < end_max
-        se = se | covered
-
-        # final render from the shared lookups (no second table pass)
-        fm = is_match & ~covered
-        code0 = jnp.where(fm, mr[:, 0], lit_full[:, 0]).astype(U32)
-        n0 = jnp.where(fm, mr[:, 1], lit_full[:, 1])
-        le = jnp.where(fm, le_, 0)
-        lv = jnp.where(fm, lv_, 0).astype(U32)
-        dcode = jnp.where(fm, dr[:, 0], 0).astype(U32)
-        dn = jnp.where(fm, dr[:, 1], 0)
-        de = jnp.where(fm, de_, 0)
-        dv = jnp.where(fm, dv_, 0).astype(U32)
-        lo = code0
-        hi = jnp.zeros_like(code0)
-        sh = n0
-        lo, hi = _or_field(lo, hi, lv, sh)
-        sh = sh + le
-        lo, hi = _or_field(lo, hi, dcode, sh)
-        sh = sh + dn
-        lo, hi = _or_field(lo, hi, dv, sh)
-        nb = jnp.where(se, n0 + le + dn + de, 0)
-        lo = jnp.where(se, lo, 0)
-        hi = jnp.where(se, hi, 0)
-        return hierarchical_pack(lo, hi, nb, out_bytes, max_cover)
-
     qpl = lane_block // UNIT
     B = tok_len.shape[0]
     starts = LANE_HIST + jnp.arange(B, dtype=I32) * lane_block
@@ -218,10 +230,38 @@ def _stage2(flat, tok_len, tok_dist, sel,
         tlq = tl.astype(I32)[LANE_HIST:].reshape(qpl, UNIT)
         tdq = td.astype(I32)[LANE_HIST:].reshape(qpl, UNIT)
         seq = se[LANE_HIST:].reshape(qpl, UNIT)
-        return jax.vmap(qone)(pay, tlq, tdq, seq, lt, lc, dt, dc)
+        return jax.vmap(lambda qb, a, b, c, w, x, y, z: _render_pack_unit(
+            qb, a, b, c, w, x, y, z, out_bytes))(
+                pay, tlq, tdq, seq, lt, lc, dt, dc)
 
     return jax.vmap(one)(starts, tok_len, tok_dist, sel,
                          llen_tab, lcode_tab, dlen_tab, dcode_tab)
+
+
+@functools.partial(jax.jit, static_argnames=("lane_block", "out_bytes"))
+def _stage2_fixed(flat, tok_len, tok_dist, sel, lane_block, out_bytes):
+    """Fixed-tree stage 2 (the deflate_quick design point, deflate_quick.c:
+    47-130): the RFC static tables are compiled into the graph, so the
+    dispatch uploads NOTHING but the token arrays already on device — no
+    per-unit table upload, no host tree build, no frequency fetch."""
+    lt = jnp.asarray(FIXED_LIT_LENGTHS.astype(np.int32))
+    lc = jnp.asarray(FIXED_LIT_CODES_REV.astype(np.int32))
+    dt = jnp.asarray(FIXED_DIST_LENGTHS.astype(np.int32))
+    dc = jnp.asarray(FIXED_DIST_CODES_REV.astype(np.int32))
+    qpl = lane_block // UNIT
+    B = tok_len.shape[0]
+    starts = LANE_HIST + jnp.arange(B, dtype=I32) * lane_block
+
+    def one(s, tl, td, se):
+        pay = jax.lax.dynamic_slice(flat, (s,),
+                                    (lane_block,)).reshape(qpl, UNIT)
+        tlq = tl.astype(I32)[LANE_HIST:].reshape(qpl, UNIT)
+        tdq = td.astype(I32)[LANE_HIST:].reshape(qpl, UNIT)
+        seq = se[LANE_HIST:].reshape(qpl, UNIT)
+        return jax.vmap(lambda qb, a, b, c: _render_pack_unit(
+            qb, a, b, c, lt, lc, dt, dc, out_bytes))(pay, tlq, tdq, seq)
+
+    return jax.vmap(one)(starts, tok_len, tok_dist, sel)
 
 
 # ---------------------------------------------------------------------------
@@ -367,6 +407,14 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
 
     stitch = _BitStitcher()
 
+    # Fixed-tree quick path (the deflate_quick design point, L1 in
+    # zlib-ng's configuration_table, deflate.c:142-152): static trees
+    # only, so the frequency fetch, host tree build, and per-unit table
+    # upload all disappear — the host reads ONE small per-unit static
+    # bit count for the stored choice and output bucket. Z_FIXED at any
+    # level is this path by definition.
+    quick = (strategy == Z_FIXED) or (level == 1 and strategy == 0)
+
     # Software pipeline over lane groups: stage1 dispatches are queued ahead
     # so host work (freq fetch, Huffman tree build, stitching) overlaps with
     # device execution of later groups. DEPTH bounds in-flight HBM use.
@@ -394,12 +442,63 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
             outs, lfreqs_d, dfreqs_d = _stage1(
                 flat_d, jnp.asarray(enc_ends), jnp.asarray(hist_valids),
                 lane_block, lc.chain, lc.lazy, lc.max_lazy, lc.nice,
-                strategy if strategy in (1, 2, 3) else 0, lc.good)
+                strategy if strategy in (1, 2, 3) else 0, lc.good,
+                quick=quick)
         return dict(g0=g0, g1=g1, B=B, Bpad=Bpad, flat_d=flat_d,
                     outs=outs, lfreqs_d=lfreqs_d, dfreqs_d=dfreqs_d,
                     enc_ends=enc_ends)
 
+    def _dispatch_stage2_quick(gm: dict) -> None:
+        """Fixed-tree stage 2: one tiny (Bpad, qpl) static-bit fetch, no
+        tree build, no table upload (constants live in _stage2_fixed)."""
+        g0, g1, Bpad = gm["g0"], gm["g1"], gm["Bpad"]
+        enc_ends, outs, flat_d = gm["enc_ends"], gm["outs"], gm["flat_d"]
+        fb = np.asarray(gm["lfreqs_d"])              # (Bpad, qpl) static bits
+        hdr_at: dict[tuple[int, int], list[tuple[int, int]]] = {}
+        eob_at: dict[tuple[int, int], tuple[int, int]] = {}
+        stored_mask = np.zeros((Bpad, qpl), bool)
+        unit_lens = np.zeros((Bpad, qpl), np.int32)
+        max_body_bits = 0
+        eob = (int(FIXED_LIT_CODES_REV[256]), 7)
+        last = None
+        for i, bi in enumerate(range(g0, g1)):
+            blen = int(enc_ends[i]) - LANE_HIST
+            for q in range(qpl):
+                ul = max(0, min(UNIT, blen - q * UNIT))
+                unit_lens[i, q] = ul
+                if ul <= 0:
+                    continue
+                last = (i, q)
+                if 42 + 8 * ul < int(fb[i, q]) + 10:
+                    stored_mask[i, q] = True            # raw beats static
+                    continue
+                hdr_at[(i, q)] = [(1 << 1, 3)]          # btype=1, BFINAL=0
+                eob_at[(i, q)] = eob
+                max_body_bits = max(max_body_bits, int(fb[i, q]))
+        if g1 == nblocks and last is not None and last in hdr_at:
+            hdr_at[last] = [(1 | (1 << 1), 3)]          # BFINAL on the tail
+        out_bytes = OUT_BUCKETS[-1]
+        for ob in OUT_BUCKETS:
+            if max_body_bits <= (ob - 8) * 8:
+                out_bytes = ob
+                break
+        with span("deflate stage2-fixed dispatch lanes[%d:%d] out=%d",
+                  g0, g1, out_bytes):
+            packed, totals = _stage2_fixed(
+                flat_d, outs["tok_len"], outs["tok_dist"], outs["sel"],
+                lane_block, out_bytes)
+        gm["packed_d"] = packed
+        gm["totals_d"] = totals
+        gm["stored_mask"] = stored_mask
+        gm["unit_lens"] = unit_lens
+        gm["hdr_at"] = hdr_at
+        gm["eob_at"] = eob_at
+        gm["group_expect"] = []
+        del gm["outs"], gm["flat_d"], gm["lfreqs_d"], gm["dfreqs_d"]
+
     def _dispatch_stage2(gm: dict) -> None:
+        if quick:
+            return _dispatch_stage2_quick(gm)
         g0, g1, B, Bpad = gm["g0"], gm["g1"], gm["B"], gm["Bpad"]
         enc_ends, outs, flat_d = gm["enc_ends"], gm["outs"], gm["flat_d"]
         lfreqs = np.asarray(gm["lfreqs_d"])          # (Bpad, qpl, 286)
