@@ -178,17 +178,21 @@ def main():
     assert _itpu.stats["fallback"] == before["fallback"], \
         "device decode path fell back to serial"
 
-    # secondary levels (warm the per-level compile on a prefix first so the
-    # number is steady-state throughput, like the L6 headline and baseline)
+    # secondary levels: one UNTIMED full-corpus pass first — a prefix
+    # cannot warm every (bucket, shape) jit variant the full corpus
+    # selects, and a compile landing inside the single timed run once
+    # halved the recorded L1 (steady-state is what the baseline measures)
     lvl_extra = {}
     for lvl in (1, 9):
         try:
-            compress_tpu(warm, lvl)
-            t = time.perf_counter()
             cl = compress_tpu(corpus, lvl)
-            dt = time.perf_counter() - t
             assert zlib.decompress(cl) == corpus
-            lvl_extra[str(lvl)] = {"compress_MBps": round(n / dt / 1e6, 2),
+            lbest = 0.0
+            for _ in range(2):
+                t = time.perf_counter()
+                cl = compress_tpu(corpus, lvl)
+                lbest = max(lbest, n / (time.perf_counter() - t))
+            lvl_extra[str(lvl)] = {"compress_MBps": round(lbest / 1e6, 2),
                                    "size": len(cl)}
         except Exception as e:  # recorded, never silent (round-2 weak #3)
             lvl_extra[str(lvl)] = {"error": f"{type(e).__name__}: {e}"}

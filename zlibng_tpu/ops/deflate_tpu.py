@@ -64,7 +64,7 @@ HMAX = 704                       # max dynamic-header tokens (worst-case RLE)
 # dispatches the smallest compiled bucket that fits — placement cost in the
 # pack kernel is proportional to the static output size, and typical text
 # units need ~6 KiB of the 30 KiB worst case (16384 literals x 15 bits).
-OUT_BUCKETS = (4096, 8192, 16384, UNIT * 15 // 8 + 8)
+OUT_BUCKETS = (4096, 8192, 12288, 16384, UNIT * 15 // 8 + 8)
 
 I32 = jnp.int32
 U32 = jnp.uint32
