@@ -477,18 +477,24 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                 max_body_bits = max(max_body_bits, int(fb[i, q]))
         if g1 == nblocks and last is not None and last in hdr_at:
             hdr_at[last] = [(1 | (1 << 1), 3)]          # BFINAL on the tail
-        out_bytes = OUT_BUCKETS[-1]
-        for ob in OUT_BUCKETS:
-            if max_body_bits <= (ob - 8) * 8:
-                out_bytes = ob
-                break
-        with span("deflate stage2-fixed dispatch lanes[%d:%d] out=%d",
-                  g0, g1, out_bytes):
-            packed, totals = _stage2_fixed(
-                flat_d, outs["tok_len"], outs["tok_dist"], outs["sel"],
-                lane_block, out_bytes)
-        gm["packed_d"] = packed
-        gm["totals_d"] = totals
+        if not hdr_at:
+            # every live unit goes stored (jpg-class group): nothing to
+            # render or fetch — skip the stage-2 dispatch entirely
+            gm["packed_d"] = None
+            gm["totals_d"] = None
+        else:
+            out_bytes = OUT_BUCKETS[-1]
+            for ob in OUT_BUCKETS:
+                if max_body_bits <= (ob - 8) * 8:
+                    out_bytes = ob
+                    break
+            with span("deflate stage2-fixed dispatch lanes[%d:%d] out=%d",
+                      g0, g1, out_bytes):
+                packed, totals = _stage2_fixed(
+                    flat_d, outs["tok_len"], outs["tok_dist"], outs["sel"],
+                    lane_block, out_bytes)
+            gm["packed_d"] = packed
+            gm["totals_d"] = totals
         gm["stored_mask"] = stored_mask
         gm["unit_lens"] = unit_lens
         gm["hdr_at"] = hdr_at
@@ -603,13 +609,15 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                 dyn_bits = int((lfreq * llen).sum() + (dfreq * dlen).sum()) \
                     + extra + hbits
             best = static_bits if dyn_bits is None else min(static_bits, dyn_bits)
-            if len(grp) == 1:
-                i, q = grp[0]
-                ul = int(unit_lens[i, q])
-                stored_bits = 32 + 8 * ul + 7  # upper bound incl. alignment
-                if stored_bits < best + 3:
+            # exact stored re-choice at group granularity (the stored-vs-
+            # coded compare of trees.c:657-692, applied after tree costs
+            # are known; the est-based pre-pass catches the obvious cases)
+            stored_bits = sum(32 + 8 * int(unit_lens[i, q]) + 7
+                              for (i, q) in grp)
+            if stored_bits < best + 3:
+                for (i, q) in grp:
                     stored_mask[i, q] = True
-                    continue
+                continue
             if dyn_bits is not None and dyn_bits < static_bits:
                 tokens = [(int(gfinal) | (2 << 1), 3)] + toks
                 ul_, ud_ = llen, dlen
@@ -638,20 +646,26 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
             if _trace_mod.enabled():
                 group_expect.append((list(grp), best + 3))
 
-        out_bytes = OUT_BUCKETS[-1]
-        for ob in OUT_BUCKETS:
-            if max_body_bits <= (ob - 8) * 8:
-                out_bytes = ob
-                break
-        with span("deflate stage2 dispatch lanes[%d:%d] out=%d", g0, g1,
-                  out_bytes):
-            packed, totals = _stage2(
-                flat_d, outs["tok_len"], outs["tok_dist"],
-                outs["sel"], jnp.asarray(llen_tab),
-                jnp.asarray(lcode_tab), jnp.asarray(dlen_tab),
-                jnp.asarray(dcode_tab), lane_block, out_bytes)
-        gm["packed_d"] = packed
-        gm["totals_d"] = totals
+        if not hdr_at:
+            # every live unit goes stored (jpg-class group): nothing to
+            # render or fetch — skip the stage-2 dispatch entirely
+            gm["packed_d"] = None
+            gm["totals_d"] = None
+        else:
+            out_bytes = OUT_BUCKETS[-1]
+            for ob in OUT_BUCKETS:
+                if max_body_bits <= (ob - 8) * 8:
+                    out_bytes = ob
+                    break
+            with span("deflate stage2 dispatch lanes[%d:%d] out=%d", g0, g1,
+                      out_bytes):
+                packed, totals = _stage2(
+                    flat_d, outs["tok_len"], outs["tok_dist"],
+                    outs["sel"], jnp.asarray(llen_tab),
+                    jnp.asarray(lcode_tab), jnp.asarray(dlen_tab),
+                    jnp.asarray(dcode_tab), lane_block, out_bytes)
+            gm["packed_d"] = packed
+            gm["totals_d"] = totals
         gm["stored_mask"] = stored_mask
         gm["unit_lens"] = unit_lens
         gm["hdr_at"] = hdr_at
@@ -661,8 +675,11 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
         del gm["outs"], gm["flat_d"], gm["lfreqs_d"], gm["dfreqs_d"]
 
     def _stitch(gm: dict) -> None:
-        packed = np.asarray(gm["packed_d"])          # (Bpad, qpl, out_bytes)
-        totals = np.asarray(gm["totals_d"])          # (Bpad, qpl)
+        if gm["packed_d"] is None:                   # all-stored group
+            packed = totals = None
+        else:
+            packed = np.asarray(gm["packed_d"])      # (Bpad, qpl, out_bytes)
+            totals = np.asarray(gm["totals_d"])      # (Bpad, qpl)
         stored_mask, unit_lens = gm["stored_mask"], gm["unit_lens"]
         hdr_at, eob_at = gm["hdr_at"], gm["eob_at"]
         # bits_sent invariant (trees.c:693 analog): predicted bits are an
