@@ -85,7 +85,7 @@ def _stage1(flat, enc_ends, hist_valids, lane_block, chain, lazy, max_lazy,
     axon tunnel (~10 MB/s measured) transfers, not compute, dominate the
     wall time, and on real hardware this is PCIe bytes saved."""
     from .lz77_jax import finalize_tokens, unit_freqs
-    from .parse_pallas import parse_select
+    from .parse_pallas import parse_select_encode
 
     lane = LANE_HIST + lane_block
     B = enc_ends.shape[0]
@@ -100,7 +100,7 @@ def _stage1(flat, enc_ends, hist_valids, lane_block, chain, lazy, max_lazy,
     lanes, core = jax.vmap(one)(starts, enc_ends, hist_valids)
     qpl = lane_block // UNIT
     bounds = jnp.stack([jnp.full(B, LANE_HIST, jnp.int32), enc_ends], axis=1)
-    sel = parse_select(core["step"], bounds)
+    sel = parse_select_encode(core["step"], bounds)
     outs = finalize_tokens(lanes, core, sel)
     lfreqs, dfreqs = jax.vmap(
         lambda ls, ds, se, m: unit_freqs(ls, ds, se, m, LANE_HIST, UNIT, qpl)

@@ -90,3 +90,35 @@ def parse_select(step: jnp.ndarray, bounds: jnp.ndarray) -> jnp.ndarray:
                                           + jnp.maximum(s, 1), b[1]),
                               b[0], b[1])
     return jax.vmap(one)(step, bounds)
+
+
+def parse_select_encode(step: jnp.ndarray, bounds: jnp.ndarray) -> jnp.ndarray:
+    """Encode-path parse: identical selection to parse_select(step, bounds),
+    with literal RUNS collapsed into single kernel iterations.
+
+    At a literal position the walk's next interesting stop is the next
+    match candidate, so the kernel walks a fused step array
+    (match: step[pos]; literal: next_match - pos) — one dependent load per
+    selected match or literal-run start instead of one per token. The
+    skipped positions are exactly the literals between stops, recovered
+    vectorized: a position is selected iff it is in range and not covered
+    by a selected match's body (cummax cover mask). On all-literal data
+    (jpg-class lanes) the serial walk collapses to ~one iteration per
+    lane — measured 250 ms of a 480 ms stage-1 dispatch before.
+
+    Unlike the retired jump-table variant (see STATUS dead-ends), the
+    fused array needs NO gather to build: one reversed cummin + a where."""
+    if jax.default_backend() != "tpu":
+        return parse_select(step, bounds)
+    B, N = step.shape
+    pos = jnp.arange(N, dtype=I32)[None, :]
+    is_m = step > 1
+    nm = jax.lax.cummin(jnp.where(is_m, pos, N)[:, ::-1], axis=1)[:, ::-1]
+    fused = jnp.where(is_m, step, nm - pos)
+    visited = parse_select_pallas(fused, bounds)
+    msel = visited & is_m
+    e = jnp.where(msel, pos + step, 0)
+    run = jax.lax.cummax(e, axis=1)
+    covered = pos < jnp.concatenate(
+        [jnp.zeros((B, 1), I32), run[:, :-1]], axis=1)
+    return (pos >= bounds[:, 0:1]) & (pos < bounds[:, 1:2]) & ~covered

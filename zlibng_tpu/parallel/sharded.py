@@ -117,7 +117,7 @@ def make_compress_step(mesh: Mesh, lane_size: int, out_max: int,
     dc = jnp.asarray(FIXED_DIST_CODES_REV.astype(np.int32))
 
     from ..ops.lz77_jax import finalize_tokens
-    from ..ops.parse_pallas import parse_select
+    from ..ops.parse_pallas import parse_select_encode
 
     def emit_lane(lane, es, ee, tok_len, tok_dist, lsym, dsym, sel):
         lo, hi, nb = render_body_tokens(
@@ -141,7 +141,7 @@ def make_compress_step(mesh: Mesh, lane_size: int, out_max: int,
             l, es, ee, hv, chain, lazy, max_lazy))(
                 lanes, enc_starts, enc_ends, hist_valids)
         bounds = jnp.stack([enc_starts, enc_ends], axis=1)
-        sel = parse_select(core["step"], bounds)
+        sel = parse_select_encode(core["step"], bounds)
         outs = finalize_tokens(lanes, core, sel)
         packed, totals, adlers, lens = jax.vmap(emit_lane)(
             lanes, enc_starts, enc_ends, outs["tok_len"], outs["tok_dist"],
@@ -210,14 +210,14 @@ def make_stage1_step(mesh: Mesh, chain: int = 4, lazy: bool = True,
     single-chip pipeline uses — ops/deflate_tpu.py stage boundaries).
     """
     from ..ops.lz77_jax import finalize_tokens, lane_freqs
-    from ..ops.parse_pallas import parse_select
+    from ..ops.parse_pallas import parse_select_encode
 
     def shard_fn(lanes, enc_starts, enc_ends, hist_valids):
         core = jax.vmap(lambda l, es, ee, hv: lz77_lane(
             l, es, ee, hv, chain, lazy, max_lazy, nice, good=good))(
                 lanes, enc_starts, enc_ends, hist_valids)
         bounds = jnp.stack([enc_starts, enc_ends], axis=1)
-        sel = parse_select(core["step"], bounds)
+        sel = parse_select_encode(core["step"], bounds)
         outs = finalize_tokens(lanes, core, sel)
         lfreq, dfreq = jax.vmap(lane_freqs)(
             outs["lsym"], outs["dsym"], outs["sel"], outs["tok_len"] > 0)
