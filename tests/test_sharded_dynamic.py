@@ -77,3 +77,47 @@ def test_sharded_segment_decode(mesh, corpus):
     # the single-device engine (round-2 weak #1) is a FAILURE, not a pass
     assert IT.stats["mesh_ok"] == mesh_before + 1, "mesh decode fell back"
     assert IT.stats["fallback"] == fb_before
+
+
+def test_multichip_stored_choice_incompressible(mesh):
+    """Round-4 verdict #5: an incompressible lane must come out as raw
+    stored blocks (deflate_stored.c / trees.c:657-692 analog), not a
+    ~8.004-bit/byte Huffman block."""
+    rnd = np.random.default_rng(0xFEED).integers(
+        0, 256, 5 * 16384 + 321, dtype=np.uint8).tobytes()
+    z = compress_multichip(rnd, mesh, level=6, lane_block=16384)
+    assert zlib.decompress(z) == rnd
+    assert len(z) <= int(len(rnd) * 1.001) + 64, (len(z), len(rnd))
+
+
+def test_multichip_mixed_stored_and_dynamic(mesh, corpus):
+    """Text lanes go Huffman while random lanes go stored, in one stream."""
+    rnd = np.random.default_rng(5).integers(
+        0, 256, 2 * 16384, dtype=np.uint8).tobytes()
+    data = corpus[:2 * 16384] + rnd + corpus[2 * 16384:4 * 16384]
+    z = compress_multichip(data, mesh, level=6, lane_block=16384)
+    assert zlib.decompress(z) == data
+    # random middle stored (~len), text compressed (~0.4x): total well
+    # below all-Huffman-random and above all-text sizes
+    assert len(z) < len(rnd) + int(0.6 * (len(data) - len(rnd)))
+
+
+def test_multichip_corrupt_stream_raises(mesh, corpus):
+    """Round-4 verdict #6: a real stream error propagates from the mesh
+    path (exact message), with no second single-device decode."""
+    from zlibng_tpu.errors import DataError
+    from zlibng_tpu.ops import inflate_tpu as IT
+    segs = [corpus[i:i + 16384] for i in range(0, 4 * 16384, 16384)]
+    blob = b""
+    starts = []
+    for s in segs:
+        starts.append(len(blob))
+        blob += compress_host(s, level=6, wbits=-15)
+    bad = bytearray(blob)
+    bad[starts[1]] |= 0x06          # BTYPE=11: invalid block type
+    fb_before = IT.stats["fallback"]
+    err_before = IT.stats["error"]
+    with pytest.raises(DataError, match="invalid block type"):
+        decompress_segments_multichip(bytes(bad), starts, mesh)
+    assert IT.stats["fallback"] == fb_before
+    assert IT.stats["error"] == err_before + 1

@@ -29,6 +29,24 @@ MAX_BL_BITS = 7             # max code length for the bit-length tree
 MAX_WBITS = 15
 WINDOW_SIZE = 1 << MAX_WBITS  # 32768
 
+
+def effective_window(wbits: int) -> int:
+    """Match-distance bound implied by the declared windowBits.
+
+    Mirrors the reference's windowBits normalization (deflate.c:306-316):
+    negative = raw, +16 = gzip, and windowBits 8 is re-declared as 9 ("until
+    the 256-byte window bug is fixed"). The encoder must never emit a match
+    farther back than this, or a decoder that allocates the declared window
+    rejects the stream with "invalid distance too far back"
+    (reference test/test_small_window.cc).
+    """
+    w = wbits - 16 if wbits > 15 else abs(wbits)
+    if w < 8:
+        w = 15  # undeclared window (gzip framing has none; wbits 0 = default)
+    elif w == 8:
+        w = 9
+    return 1 << w
+
 # Block types
 STORED_BLOCK = 0
 STATIC_TREES = 1

@@ -75,9 +75,10 @@ U32 = jnp.uint32
 # ---------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("lane_block", "chain", "lazy",
                                               "max_lazy", "nice", "strategy",
-                                              "good", "quick"))
+                                              "good", "quick", "max_dist"))
 def _stage1(flat, enc_ends, hist_valids, lane_block, chain, lazy, max_lazy,
-            nice=258, strategy=0, good=12, quick=False):
+            nice=258, strategy=0, good=12, quick=False,
+            max_dist=WINDOW_SIZE):
     """flat: (LANE_HIST + B*lane_block,) u8 — the group's payload uploaded
     ONCE; lanes (with their 32K overlapping history prefixes) are assembled
     in-graph by dynamic slices. The old per-lane host assembly re-uploaded
@@ -95,7 +96,8 @@ def _stage1(flat, enc_ends, hist_valids, lane_block, chain, lazy, max_lazy,
         lane_b = jax.lax.dynamic_slice(flat, (s,), (lane,))
         return lane_b, lz77_lane(lane_b, jnp.int32(LANE_HIST), ee, hv, chain,
                                  lazy, max_lazy, nice, unit=UNIT,
-                                 strategy=strategy, good=good)
+                                 strategy=strategy, good=good,
+                                 max_dist=max_dist)
 
     lanes, core = jax.vmap(one)(starts, enc_ends, hist_valids)
     qpl = lane_block // UNIT
@@ -378,10 +380,12 @@ def _est_block_bits_batch(lfreqs: np.ndarray, dfreqs: np.ndarray) -> np.ndarray:
 def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                         strategy: int = Z_DEFAULT_STRATEGY,
                         dictionary: bytes | None = None,
-                        tune=None) -> bytes:
+                        tune=None, max_dist: int = WINDOW_SIZE) -> bytes:
     """Raw DEFLATE payload for `buf` using the TPU pipeline. `tune` (a
     stream.deflate.LevelConfig) overrides the level's match-engine knobs —
-    the deflateTune seam (deflate.c:679-690) for the device path."""
+    the deflateTune seam (deflate.c:679-690) for the device path.
+    `max_dist` bounds match distances to the declared window
+    (MAX_DIST analog, deflate.h:415)."""
     n = buf.size
     lc = tune if tune is not None else LEVELS[max(1, min(9, level))]
     # lane geometry by input size: big lanes amortize the 32K history
@@ -398,7 +402,8 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
     nblocks = max(1, -(-n // lane_block))
 
     # virtual buffer with 32K zero/dict prefix so every lane slices uniformly
-    d = np.frombuffer(memoryview(bytes(dictionary)), np.uint8)[-LANE_HIST:] \
+    d = np.frombuffer(memoryview(bytes(dictionary)),
+                      np.uint8)[-min(LANE_HIST, max_dist):] \
         if dictionary else np.zeros(0, np.uint8)
     prefix = np.concatenate([np.zeros(LANE_HIST - d.size, np.uint8), d])
     tail_pad = np.zeros(nblocks * lane_block - n, np.uint8)
@@ -443,7 +448,7 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                 flat_d, jnp.asarray(enc_ends), jnp.asarray(hist_valids),
                 lane_block, lc.chain, lc.lazy, lc.max_lazy, lc.nice,
                 strategy if strategy in (1, 2, 3) else 0, lc.good,
-                quick=quick)
+                quick=quick, max_dist=max_dist)
         return dict(g0=g0, g1=g1, B=B, Bpad=Bpad, flat_d=flat_d,
                     outs=outs, lfreqs_d=lfreqs_d, dfreqs_d=dfreqs_d,
                     enc_ends=enc_ends)
@@ -749,7 +754,9 @@ def compress_tpu(data, level: int = 6, wbits: int = 15,
         from ..stream.deflate import compress as compress_host
         return compress_host(bytes(data), level=level, wbits=wbits,
                              strategy=strategy, dictionary=dictionary)
-    payload = deflate_payload_tpu(buf, level, strategy, dictionary, tune)
+    from ..format.constants import effective_window
+    payload = deflate_payload_tpu(buf, level, strategy, dictionary, tune,
+                                  max_dist=effective_window(wbits))
     if wbits < 0:
         return payload
     if wbits > 15:

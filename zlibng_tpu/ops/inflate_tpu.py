@@ -641,7 +641,8 @@ _DEVICE_SINGLE_MAX = 1 << 20
 
 # Routing/result counters (bench.py asserts device_ok > 0 after its decode
 # pass so a silent everything-falls-back regression cannot ship again).
-stats = {"device_ok": 0, "fallback": 0, "host_routed": 0, "mesh_ok": 0}
+stats = {"device_ok": 0, "fallback": 0, "host_routed": 0, "mesh_ok": 0,
+         "error": 0}
 
 
 def inflate_raw_tpu(data: bytes, wbits: int = 15,

@@ -91,7 +91,8 @@ def _ctz_bytes32(x: jnp.ndarray) -> jnp.ndarray:
 
 def _probe_best_xla(w2_s: jnp.ndarray, h_sorted: jnp.ndarray,
                     pos_s: jnp.ndarray, hist_valid_from,
-                    dense: int, gate_depth: int, good_l16: int):
+                    dense: int, gate_depth: int, good_l16: int,
+                    max_dist: int = WINDOW_SIZE):
     """Dense probe sweep, pure-XLA form: for k = 1..dense compare every
     sorted row against its k-th predecessor (shifted arrays) and keep the
     best (probe_len << 20) - dist score. Reference semantics: the
@@ -118,7 +119,7 @@ def _probe_best_xla(w2_s: jnp.ndarray, h_sorted: jnp.ndarray,
         for w in range(W - 2, -1, -1):
             l16 = jnp.where(x[:, w] != 0, _ctz_bytes32(x[:, w]), 4 + l16)
         dist = pos_s - cand
-        ok = same & (cand >= hist_valid_from) & (dist <= WINDOW_SIZE) \
+        ok = same & (cand >= hist_valid_from) & (dist <= max_dist) \
             & (dist > 0)
         score = jnp.where(ok, (l16 << 20) - dist, NEG)
         better = score > best_score
@@ -175,7 +176,8 @@ def dist_extra_arith(dist: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
               hist_valid_from: jnp.ndarray, chain: int, lazy: bool,
               max_lazy: int, nice: int = 258, unit: int = 0,
-              strategy: int = 0, good: int = GOOD_L16) -> dict:
+              strategy: int = 0, good: int = GOOD_L16,
+              max_dist: int = WINDOW_SIZE) -> dict:
     """data: (LANE,) uint8. enc_start/enc_end/hist_valid_from: () int32.
     unit > 0 caps matches at `unit`-byte boundaries past enc_start so the
     encoder can emit any unit as an independent block (stored/tree choice
@@ -239,11 +241,11 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
             from .probe_pallas import probe_best_pallas
             best_score, best_cand_s = probe_best_pallas(
                 w2_s, h_sorted, pos_s, hist_valid_from,
-                dense, GATE_DEPTH, good_l16)
+                dense, GATE_DEPTH, good_l16, max_dist=max_dist)
         else:
             best_score, best_cand_s = _probe_best_xla(
                 w2_s, h_sorted, pos_s, hist_valid_from,
-                dense, GATE_DEPTH, good_l16)
+                dense, GATE_DEPTH, good_l16, max_dist=max_dist)
 
         if chain > dense:
             # ---- compacted deep probes (k = dense+1 .. chain) ----------
@@ -291,7 +293,7 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
                     cpos = pos_s[cidx]
                     dist = qpos - cpos
                     ok = (qh == h_sorted[cidx]) & (cpos >= hist_valid_from) \
-                        & (dist <= WINDOW_SIZE) & (dist > 0) & (idx - k >= 0)
+                        & (dist <= max_dist) & (dist > 0) & (idx - k >= 0)
                     score = jnp.where(ok, (l16 << 20) - dist, NEG)
                     better = score > bs
                     bs = jnp.where(better, score, bs)

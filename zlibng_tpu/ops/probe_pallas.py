@@ -48,7 +48,8 @@ def _ctz_bytes32_i(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(xu == 0, 4, (ctz >> U32(3)).astype(I32))
 
 
-def _probe_kernel(dense: int, gate_depth: int, good_l16: int, R: int,
+def _probe_kernel(dense: int, gate_depth: int, good_l16: int, max_dist: int,
+                  R: int,
                   params_ref, body_ref, halo_ref, score_ref, cand_ref):
     hv = params_ref[0, 0]
     # halo block is (1, 6, 128) — Mosaic requires the last two block dims
@@ -85,7 +86,7 @@ def _probe_kernel(dense: int, gate_depth: int, good_l16: int, R: int,
         ch = sh(full[_W])
         cpos = sh(full[_W + 1])
         dist = qpos - cpos
-        ok = (qh == ch) & (cpos >= hv) & (dist <= _WINDOW) & (dist > 0)
+        ok = (qh == ch) & (cpos >= hv) & (dist <= max_dist) & (dist > 0)
         score = jnp.where(ok, (l16 << 20) - dist, neg)
         better = score > bs
         if hunting is not None:
@@ -106,10 +107,12 @@ def _pick_tile_rows(nr: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("dense", "gate_depth",
-                                             "good_l16", "interpret"))
+                                             "good_l16", "max_dist",
+                                             "interpret"))
 def probe_best_pallas(w2_s: jnp.ndarray, h_sorted: jnp.ndarray,
                       pos_s: jnp.ndarray, hist_valid_from,
                       dense: int, gate_depth: int, good_l16: int,
+                      max_dist: int = _WINDOW,
                       interpret: bool = False):
     """Fused dense probe sweep. w2_s: (N, W) uint32 sorted probe rows;
     h_sorted/pos_s: (N,) int32. Returns (best_score, best_cand) (N,) i32,
@@ -136,7 +139,8 @@ def probe_best_pallas(w2_s: jnp.ndarray, h_sorted: jnp.ndarray,
         halo = pad
     params = jnp.reshape(jnp.asarray(hist_valid_from, I32), (1, 1))
 
-    kern = functools.partial(_probe_kernel, dense, gate_depth, good_l16, R)
+    kern = functools.partial(_probe_kernel, dense, gate_depth, good_l16,
+                             max_dist, R)
     score, cand = pl.pallas_call(
         kern,
         grid=(grid,),

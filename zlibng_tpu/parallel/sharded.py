@@ -198,24 +198,37 @@ def _shard_map(fn, mesh, in_specs, out_specs):
                          out_specs=out_specs)
 
 
-def make_stage1_step(mesh: Mesh, chain: int = 4, lazy: bool = True,
+def make_stage1_step(mesh: Mesh, lane_block: int, hist: int,
+                     chain: int = 4, lazy: bool = True,
                      max_lazy: int = 16, nice: int = 258, axis: str = "d",
                      good: int = 12):
     """Sharded stage 1: LZ77 parse + per-lane symbol histograms.
 
-    (lanes (B,L) u8, enc_starts, enc_ends, hist_valids (B,) i32) ->
+    (flat (ndev, hist + lps*lane_block) u8, enc_starts, enc_ends,
+    hist_valids (B,) i32) ->
     (sel (B,L) bool, tok_len/tok_dist (B,L) u16, lfreq (B,286), dfreq (B,30)),
-    all sharded on `axis`. The freqs go to the host, which builds each
-    lane's dynamic Huffman table (the exact host/device split the
-    single-chip pipeline uses — ops/deflate_tpu.py stage boundaries).
+    all sharded on `axis`. Lanes are assembled IN-GRAPH from each shard's
+    flat chunk (the 32 K history prefix is duplicated once per SHARD, not
+    per lane — the flat-group-upload economics of the single-chip pipeline,
+    ops/deflate_tpu.py _stage1). The freqs go to the host, which builds
+    each lane's dynamic Huffman table.
     """
     from ..ops.lz77_jax import finalize_tokens, lane_freqs
     from ..ops.parse_pallas import parse_select_encode
 
-    def shard_fn(lanes, enc_starts, enc_ends, hist_valids):
-        core = jax.vmap(lambda l, es, ee, hv: lz77_lane(
-            l, es, ee, hv, chain, lazy, max_lazy, nice, good=good))(
-                lanes, enc_starts, enc_ends, hist_valids)
+    lane_sz = hist + lane_block
+
+    def shard_fn(flat, enc_starts, enc_ends, hist_valids):
+        flat = flat[0]                       # (hist + lps*lane_block,)
+        lps = enc_starts.shape[0]
+        starts = jnp.arange(lps, dtype=I32) * lane_block
+
+        def one(s, es, ee, hv):
+            lane = jax.lax.dynamic_slice(flat, (s,), (lane_sz,))
+            return lane, lz77_lane(lane, es, ee, hv, chain, lazy, max_lazy,
+                                   nice, good=good)
+
+        lanes, core = jax.vmap(one)(starts, enc_starts, enc_ends, hist_valids)
         bounds = jnp.stack([enc_starts, enc_ends], axis=1)
         sel = parse_select_encode(core["step"], bounds)
         outs = finalize_tokens(lanes, core, sel)
@@ -230,17 +243,22 @@ def make_stage1_step(mesh: Mesh, chain: int = 4, lazy: bool = True,
     return jax.jit(smapped)
 
 
-def make_stage2_step(mesh: Mesh, out_max: int, axis: str = "d"):
+def make_stage2_step(mesh: Mesh, out_max: int, lane_block: int, hist: int,
+                     axis: str = "d"):
     """Sharded stage 2: render + pack each lane as one DEFLATE block
     against its own (host-built, dynamic or static) code tables, plus the
-    length all_gather and adler combine collectives.
+    length all_gather and adler combine collectives. Lanes are re-assembled
+    in-graph from the shard's flat chunk (same economics as stage 1).
 
-    (lanes, tok_len, tok_dist, sel, hdr_lo/hi/nb (B,HMAX), llen/lcode
-    (B,288), dlen/dcode (B,30), enc_starts, enc_ends) ->
+    (flat (ndev, hist+lps*lane_block), tok_len, tok_dist, sel,
+    hdr_lo/hi/nb (B,HMAX), llen/lcode (B,288), dlen/dcode (B,30),
+    enc_starts, enc_ends) ->
     (packed (B,out_max) u8, total_bits (B,), all_bits (B,) replicated,
     shard_adlers (n_dev,) replicated).
     """
     from ..ops.lz77_jax import dist_code_arith, length_code_arith
+
+    lane_sz = hist + lane_block
 
     def emit_lane(lane, tl, td, se, hlo, hhi, hnb, lt, lc2, dt2, dc2, es, ee):
         tl = tl.astype(I32)
@@ -259,8 +277,13 @@ def make_stage2_step(mesh: Mesh, out_max: int, axis: str = "d"):
         adler = _lane_adler(lane, es, ee)
         return packed, total, adler, (ee - es)
 
-    def shard_fn(lanes, tok_len, tok_dist, sel, hdr_lo, hdr_hi, hdr_nb,
+    def shard_fn(flat, tok_len, tok_dist, sel, hdr_lo, hdr_hi, hdr_nb,
                  llen, lcode, dlen, dcode, enc_starts, enc_ends):
+        flat = flat[0]
+        lps = enc_starts.shape[0]
+        starts = jnp.arange(lps, dtype=I32) * lane_block
+        lanes = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(flat, (s,), (lane_sz,)))(starts)
         packed, totals, adlers, lens = jax.vmap(emit_lane)(
             lanes, tok_len, tok_dist, sel, hdr_lo, hdr_hi, hdr_nb,
             llen, lcode, dlen, dcode, enc_starts, enc_ends)
@@ -308,7 +331,7 @@ def compress_multichip(data: bytes, mesh: Mesh, level: int = 6,
     )
     from ..huffman.encode import build_dynamic_header, huffman_table
     from ..ops.deflate_tpu import (
-        HMAX, _BitStitcher, _extra_cost, _header_tokens_to_arrays,
+        HMAX, _BitStitcher, _header_tokens_to_arrays,
     )
     from ..stream.deflate import LEVELS
 
@@ -317,37 +340,64 @@ def compress_multichip(data: bytes, mesh: Mesh, level: int = 6,
     if to_host is None:
         to_host = np.asarray
 
+    from ..ops.deflate_tpu import _est_block_bits_batch
+    from ..format.constants import DIST_EXTRA, LENGTH_EXTRA
+
     ndev = mesh.devices.size
     lc = LEVELS[max(1, min(9, level))]
     buf = np.frombuffer(memoryview(bytes(data)), np.uint8)
     n = buf.size
     hist = WINDOW_SIZE
-    lane_sz = hist + lane_block
     nblocks = max(1, -(-n // lane_block))
     B = -(-nblocks // ndev) * ndev            # pad lane count to mesh size
+    lps = B // ndev                           # lanes per shard
     vbuf = np.concatenate([np.zeros(hist, np.uint8), buf,
                            np.zeros(B * lane_block - n, np.uint8)])
-    lanes = np.zeros((B, lane_sz), np.uint8)
+    # per-SHARD flat chunks: the 32 K history is duplicated once per shard
+    # (ndev * 32 K total), not once per lane — lanes assemble in-graph
+    flat_len = hist + lps * lane_block
+    flat_sh = np.zeros((ndev, flat_len), np.uint8)
+    for s in range(ndev):
+        base = s * lps * lane_block
+        flat_sh[s] = vbuf[base: base + flat_len]
     enc_starts = np.full(B, hist, np.int32)
     enc_ends = np.full(B, hist, np.int32)
     hist_valids = np.full(B, hist, np.int32)  # empty pad lanes: no history
     for bi in range(nblocks):
-        lanes[bi] = vbuf[bi * lane_block: bi * lane_block + lane_sz]
         enc_ends[bi] = hist + min(lane_block, n - bi * lane_block)
         hist_valids[bi] = hist if bi == 0 else 0
     out_max = lane_block + (lane_block >> 2) + 1024
 
-    s1 = make_stage1_step(mesh, lc.chain, lc.lazy, lc.max_lazy, lc.nice,
-                          axis=axis, good=lc.good)
-    s2 = make_stage2_step(mesh, out_max, axis=axis)
+    s1 = make_stage1_step(mesh, lane_block, hist, lc.chain, lc.lazy,
+                          lc.max_lazy, lc.nice, axis=axis, good=lc.good)
+    s2 = make_stage2_step(mesh, out_max, lane_block, hist, axis=axis)
     sp = P(axis)
+    flat_d = to_dev(flat_sh, sp)
     sel, tok_len, tok_dist, lfreqs_d, dfreqs_d = s1(
-        to_dev(lanes, sp), to_dev(enc_starts, sp), to_dev(enc_ends, sp),
+        flat_d, to_dev(enc_starts, sp), to_dev(enc_ends, sp),
         to_dev(hist_valids, sp))
-    lfreqs = to_host(lfreqs_d)
-    dfreqs = to_host(dfreqs_d)
+    lfreqs = to_host(lfreqs_d).astype(np.int64)
+    dfreqs = to_host(dfreqs_d).astype(np.int64)
 
-    # host: per-lane tree build + type choice (dynamic vs static) + header
+    # host: vectorized cost prepass + per-lane tree build + three-way
+    # stored/static/dynamic choice (trees.c:657-692 / deflate_stored.c:
+    # an incompressible lane is emitted as raw stored blocks, not a
+    # ~8.004-bit/byte Huffman block)
+    plens = (enc_ends - enc_starts).astype(np.int64)          # payload bytes
+    lfreqs[:, 256] += 1                                       # EOB per lane
+    lext = np.zeros(286, np.int64)
+    lext[257:286] = LENGTH_EXTRA[:29]
+    dext = DIST_EXTRA[:30].astype(np.int64)
+    extra_v = lfreqs @ lext + dfreqs @ dext                   # (B,)
+    static_v = lfreqs @ FLL[:286].astype(np.int64) \
+        + dfreqs @ FDL.astype(np.int64) + extra_v             # (B,)
+    # exact stored cost: per 65535-byte chunk 3-bit header + pad(<=7) + 32
+    nchunks = np.maximum(1, -(-plens // 0xFFFF))
+    stored_v = 8 * plens + nchunks * (32 + 3 + 7)
+    ests = _est_block_bits_batch(lfreqs, dfreqs)              # (B,) float
+    # prestored: stored so clearly wins that the tree build is skipped
+    prestored = stored_v + 64 < np.minimum(ests, static_v)
+
     hdr_lo = np.zeros((B, HMAX), np.uint32)
     hdr_hi = np.zeros((B, HMAX), np.uint32)
     hdr_nb = np.zeros((B, HMAX), np.int32)
@@ -355,19 +405,24 @@ def compress_multichip(data: bytes, mesh: Mesh, level: int = 6,
     lcode_tab = np.zeros((B, 288), np.int32)
     dlen_tab = np.zeros((B, 30), np.int32)
     dcode_tab = np.zeros((B, 30), np.int32)
+    stored_mask = np.zeros(B, bool)
     for bi in range(nblocks):
         final = bi == nblocks - 1
-        lfreq = lfreqs[bi].astype(np.int64)
-        lfreq[256] += 1
-        dfreq = dfreqs[bi].astype(np.int64)
-        extra = _extra_cost(lfreq, dfreq)
-        static_bits = int((lfreq * FLL[:286]).sum() + (dfreq * FDL).sum()) \
-            + extra
+        if prestored[bi]:
+            stored_mask[bi] = True
+            continue
+        lfreq = lfreqs[bi]
+        dfreq = dfreqs[bi]
+        static_bits = int(static_v[bi])
         llen, lcode = huffman_table(lfreq, MAX_BITS)
         dlen, dcode = huffman_table(dfreq, MAX_BITS)
         toks, hbits = build_dynamic_header(llen, dlen)
         dyn_bits = int((lfreq * llen).sum() + (dfreq * dlen).sum()) \
-            + extra + hbits
+            + int(extra_v[bi]) + hbits
+        best = min(static_bits, dyn_bits)
+        if int(stored_v[bi]) < best + 3:                      # exact re-choice
+            stored_mask[bi] = True
+            continue
         if dyn_bits < static_bits:
             tokens = [(int(final) | (2 << 1), 3)] + toks
             llen_tab[bi, :286], lcode_tab[bi, :286] = llen, lcode
@@ -381,7 +436,7 @@ def compress_multichip(data: bytes, mesh: Mesh, level: int = 6,
         hdr_lo[bi], hdr_hi[bi], hdr_nb[bi] = _header_tokens_to_arrays(tokens)
 
     packed, totals, all_bits, shard_adlers = s2(
-        to_dev(lanes, sp), tok_len, tok_dist, sel,
+        flat_d, tok_len, tok_dist, sel,
         to_dev(hdr_lo, sp), to_dev(hdr_hi, sp), to_dev(hdr_nb, sp),
         to_dev(llen_tab, sp), to_dev(lcode_tab, sp),
         to_dev(dlen_tab, sp), to_dev(dcode_tab, sp),
@@ -391,11 +446,27 @@ def compress_multichip(data: bytes, mesh: Mesh, level: int = 6,
 
     stitch = _BitStitcher()
     for bi in range(nblocks):
-        stitch.append(packed_np[bi], int(totals_np[bi]))
-    shard_lens = [
-        int(sum(enc_ends[i] - enc_starts[i]
-                for i in range(s * (B // ndev), (s + 1) * (B // ndev))))
-        for s in range(ndev)]
+        if stored_mask[bi]:
+            # raw stored blocks straight from the input (device packed
+            # output for this lane is ignored; its adler still counts)
+            p0 = hist + bi * lane_block
+            plen = int(plens[bi])
+            pos = 0
+            while True:
+                take = min(plen - pos, 0xFFFF)
+                last = (bi == nblocks - 1) and (pos + take == plen)
+                pad = (8 - ((stitch.bits + 3) & 7)) & 7
+                stitch.append_tokens([
+                    (int(last), 1), (0, 2), (0, pad),
+                    (take, 16), (~take & 0xFFFF, 16)])
+                stitch.append(vbuf[p0 + pos: p0 + pos + take], take * 8)
+                pos += take
+                if pos >= plen:
+                    break
+        else:
+            stitch.append(packed_np[bi], int(totals_np[bi]))
+    shard_lens = [int(plens[s * lps:(s + 1) * lps].sum())
+                  for s in range(ndev)]
     adler = combine_shard_adlers(np.asarray(shard_adlers), shard_lens)
     return (H.build_zlib_header(wbits=15, level=level) + stitch.getvalue()
             + H.build_zlib_trailer(adler))
@@ -444,8 +515,11 @@ def decompress_segments_multichip(blob: bytes, start_bytes, mesh: Mesh,
                                   to_host=None) -> list[bytes]:
     """Sharded analog of ops/inflate_tpu.decompress_segments_tpu: decode
     independent full-flush segments with phase A lanes and phase B segments
-    distributed over the mesh. Falls back to the single-device engine on
-    any anomaly (exact errors are its job).
+    distributed over the mesh. Falls back to the single-device engine only
+    on speculative-decode anomalies (`_Fallback`); a real stream error
+    (InflateError) PROPAGATES — the mesh path already decoded enough to
+    know, and re-decoding a corrupt stream just to re-raise doubles the
+    work (reference BAD-state latch, inflate.c:1161-1163).
 
     to_dev(arr, spec)/to_host(x) inject multi-host array placement/fetch
     (see compress_multichip); defaults are single-host."""
@@ -534,7 +608,10 @@ def decompress_segments_multichip(blob: bytes, start_bytes, mesh: Mesh,
         if ran["a"] and ran["b"]:
             IT.stats["mesh_ok"] += 1
         return outs
-    except (IT._Fallback, InflateError):
+    except InflateError:
+        IT.stats["error"] = IT.stats.get("error", 0) + 1
+        raise
+    except IT._Fallback:
         IT.stats["fallback"] += 1
         return IT.decompress_segments_tpu(bytes(blob), start_bytes)
 

@@ -27,7 +27,7 @@ from ..checksum.adler32 import adler32, adler32_combine
 from ..checksum.crc32 import crc32
 from ..errors import BufError, DataError, NeedDictError, StreamError
 from ..format import headers as H
-from ..format.constants import WINDOW_SIZE
+from ..format.constants import WINDOW_SIZE, effective_window
 from ..huffman.bitpack import pack_bits
 from ..stream import deflate as D
 from ..stream.inflate_serial import (
@@ -59,6 +59,10 @@ class Deflate:
             raise StreamError("invalid compression level")
         self.level = 6 if level == -1 else level
         self.wbits = wbits
+        # declared-window match-distance bound (MAX_DIST analog,
+        # deflate.h:415): matches never reach past the window a conforming
+        # decoder of this stream will allocate
+        self._max_dist = effective_window(wbits)
         self.mem_level = mem_level
         self.strategy = strategy
         self.block_size = min(1 << (mem_level + 12), D.DEFAULT_BLOCK)
@@ -89,9 +93,12 @@ class Deflate:
             raise StreamError("dictionary must be set before compression")
         if self.gzip:
             raise StreamError("cannot set dictionary in gzip mode")
-        d = bytes(dictionary)[-WINDOW_SIZE:]
-        self._dict = d
-        self._window = d
+        d = bytes(dictionary)
+        # DICTID covers the FULL dictionary (deflate.c:456-512 computes the
+        # adler before trimming to w_size); only the window keeps ≤ max_dist
+        self._dict_id = adler32(d)
+        self._dict = d[-self._max_dist:]
+        self._window = self._dict
         # note: the stream checksum covers only the payload; the dictionary
         # id (adler of the dict) goes in the header, not the trailer
 
@@ -201,7 +208,7 @@ class Deflate:
         if self.gzip:
             self._out += H.build_gzip_header(self.gzip_header, level=self.level)
         elif not self.raw:
-            dictid = adler32(self._dict) if self._dict is not None else None
+            dictid = self._dict_id if self._dict is not None else None
             self._out += H.build_zlib_header(
                 wbits=max(self.wbits, 9), level=self.level, dictid=dictid)
         self._header_written = True
@@ -232,7 +239,7 @@ class Deflate:
         payload = bytes(self._inbuf[:take])
         del self._inbuf[:take]
         self._encode_block(payload, final)
-        self._window = (self._window + payload)[-WINDOW_SIZE:]
+        self._window = (self._window + payload)[-self._max_dist:]
 
     def _compress_buffered(self, final: bool, force: bool) -> None:
         while len(self._inbuf) >= self.block_size:
@@ -260,7 +267,8 @@ class Deflate:
             sl = sv
             sd = sv
         else:
-            sv, sl, sd = D._tokenize_block(vdata, bs, be, cfg, self.strategy)
+            sv, sl, sd = D._tokenize_block(vdata, bs, be, cfg, self.strategy,
+                                           window=self._max_dist)
         if self.data_type == D.Z_UNKNOWN and sv.size:
             # TEXT/BINARY from the first block's literal tallies, once,
             # level>0 only — exactly when zng_tr_flush_block does

@@ -24,7 +24,7 @@ from ..format import headers as H
 from ..format.constants import (
     FIXED_DIST_LENGTHS, FIXED_DIST_CODES_REV, FIXED_LIT_LENGTHS,
     FIXED_LIT_CODES_REV, DIST_EXTRA, LENGTH_EXTRA, MAX_BITS, MAX_MATCH,
-    WINDOW_SIZE, dist_to_code, length_to_code,
+    WINDOW_SIZE, dist_to_code, effective_window, length_to_code,
 )
 from ..huffman.bitpack import pack_bits, token_bits
 from ..huffman.encode import build_dynamic_header, huffman_table
@@ -132,15 +132,18 @@ def compress_bound(n: int, wbits: int = 15, level: int | None = None,
 # Block tokenization
 # ---------------------------------------------------------------------------
 def _tokenize_block(vdata: np.ndarray, bstart: int, bend: int,
-                    cfg: MatchConfig, strategy: int):
+                    cfg: MatchConfig, strategy: int,
+                    window: int = WINDOW_SIZE):
     """Tokens for payload [bstart, bend) of the virtual stream `vdata`
-    (which may have dictionary/history before bstart).
+    (which may have dictionary/history before bstart). `window` bounds the
+    match distance (MAX_DIST analog, deflate.h:415 — reduced windowBits
+    must never emit farther-back matches).
     Returns (sel_val, sel_len, sel_dist) int32 arrays."""
     if strategy == Z_HUFFMAN_ONLY:
         lits = vdata[bstart:bend].astype(np.int32)
         z = np.zeros(lits.shape[0], np.int32)
         return lits, z, z
-    lane_start = 0 if strategy == Z_RLE else max(0, bstart - WINDOW_SIZE)
+    lane_start = 0 if strategy == Z_RLE else max(0, bstart - window)
     if strategy == Z_RLE:
         lane_start = max(0, bstart - 1)  # rle may only look 1 byte back
     lane = vdata[lane_start:bend]
@@ -148,7 +151,7 @@ def _tokenize_block(vdata: np.ndarray, bstart: int, bend: int,
     if strategy == Z_RLE:
         best_len, best_dist = _rle_matches(lane, es, ee, cfg)
     else:
-        best_len, best_dist = find_matches(lane, es, ee, cfg)
+        best_len, best_dist = find_matches(lane, es, ee, cfg, window=window)
         if strategy == Z_FILTERED:
             # favor literals: drop short matches (deflate.c Z_FILTERED rule)
             keep = best_len >= 6
@@ -274,7 +277,8 @@ def compress(data, level: int = 6, wbits: int = 15, strategy: int = Z_DEFAULT_ST
     raw_mode = wbits < 0
     gzip_mode = wbits > 15
 
-    payload = _deflate_payload(buf, level, strategy, dictionary, block_size)
+    payload = _deflate_payload(buf, level, strategy, dictionary, block_size,
+                               window=effective_window(wbits))
 
     if raw_mode:
         return payload
@@ -287,11 +291,12 @@ def compress(data, level: int = 6, wbits: int = 15, strategy: int = Z_DEFAULT_ST
 
 
 def _deflate_payload(buf: np.ndarray, level: int, strategy: int,
-                     dictionary: bytes | None, block_size: int) -> bytes:
+                     dictionary: bytes | None, block_size: int,
+                     window: int = WINDOW_SIZE) -> bytes:
     n = buf.size
     if dictionary:
         d = np.frombuffer(memoryview(bytes(dictionary)), dtype=np.uint8)
-        d = d[-WINDOW_SIZE:]
+        d = d[-window:]
         vdata = np.concatenate([d, buf])
         base = d.size
     else:
@@ -315,7 +320,8 @@ def _deflate_payload(buf: np.ndarray, level: int, strategy: int,
             v, nb, mod8 = _emit_block(raw, z, z, z, final, mod8, strategy,
                                       force_stored=True)
         else:
-            sv, sl, sd = _tokenize_block(vdata, bs, be, cfg, strategy)
+            sv, sl, sd = _tokenize_block(vdata, bs, be, cfg, strategy,
+                                         window=window)
             v, nb, mod8 = _emit_block(raw, sv, sl, sd, final, mod8, strategy)
         all_vals.append(v)
         all_nbits.append(nb)
