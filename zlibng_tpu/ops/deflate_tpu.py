@@ -34,7 +34,6 @@ from ..format.constants import (
     DIST_EXTRA, FIXED_DIST_CODES_REV, FIXED_DIST_LENGTHS, FIXED_LIT_CODES_REV,
     FIXED_LIT_LENGTHS, LENGTH_EXTRA, MAX_BITS, WINDOW_SIZE,
 )
-from ..huffman.encode import build_dynamic_header, huffman_table
 from ..stream.deflate import LEVELS, Z_DEFAULT_STRATEGY, Z_FIXED
 from ..trace import span, trace
 from .. import trace as _trace_mod
@@ -209,6 +208,202 @@ def _render_pack_unit(qbytes, tl, td, se, lt, lc, dt, dc, out_bytes):
     lo = jnp.where(se, lo, 0)
     hi = jnp.where(se, hi, 0)
     return hierarchical_pack(lo, hi, nb, out_bytes)
+
+
+# ---------------------------------------------------------------------------
+# fully on-device stage 2: per-unit Huffman build + block choice + headers
+# ---------------------------------------------------------------------------
+HDR_OUT = 512            # header pack bucket (worst dynamic header < 440 B:
+#                          57 fixed + 316 cl codes <= 7 bits + rep extras)
+_INF = jnp.int32(1 << 29)
+
+
+def _lane_stage2_auto(pay, tlq, tdq, seq, lfreq_u, dfreq_u, unit_lens,
+                      out_bytes: int, qpl: int):
+    """One lane: node pyramid over its qpl 16 KiB units, exact three-way
+    stored/static/dynamic costs with in-graph Huffman tables + dynamic
+    headers (ops/huffman_jax.py), optimal contiguous power-of-2 partition
+    by DP, then per-unit render + pack. Round-4 verdict #2: no host
+    round-trip — the freq fetch, host tree build, and table upload of the
+    old stage 2 all disappear. Reference semantics: trees.c:322-405 (tree
+    build), :411-521 (header), :657-692 (block-type choice)."""
+    from .huffman_jax import HDR_SLOTS, dyn_header, huff_table
+
+    nlev = qpl.bit_length()                    # qpl = 2^(nlev-1)
+    lext = jnp.zeros(286, I32).at[257:286].set(
+        jnp.asarray(LENGTH_EXTRA[:29].astype(np.int32)))
+    dext = jnp.asarray(DIST_EXTRA[:30].astype(np.int32))
+    fll = jnp.asarray(FIXED_LIT_LENGTHS[:286].astype(np.int32))
+    flc = jnp.asarray(FIXED_LIT_CODES_REV.astype(np.int32))
+    fdl = jnp.asarray(FIXED_DIST_LENGTHS.astype(np.int32))
+    fdc = jnp.asarray(FIXED_DIST_CODES_REV.astype(np.int32))
+
+    # ---- node pyramid: freqs / stored cost / empty-unit poisoning -------
+    lf_lv = [lfreq_u.astype(I32)]
+    df_lv = [dfreq_u.astype(I32)]
+    sto_lv = [jnp.where(unit_lens > 0, 42 + 8 * unit_lens, 0)]
+    emp_lv = [unit_lens == 0]
+    for _ in range(nlev - 1):
+        a = lf_lv[-1]
+        lf_lv.append(a[0::2] + a[1::2])
+        b = df_lv[-1]
+        df_lv.append(b[0::2] + b[1::2])
+        s = sto_lv[-1]
+        sto_lv.append(s[0::2] + s[1::2])
+        e = emp_lv[-1]
+        emp_lv.append(e[0::2] | e[1::2])
+    nlf = jnp.concatenate(lf_lv)               # (nodes, 286)
+    ndf = jnp.concatenate(df_lv)               # (nodes, 30)
+    nsto = jnp.concatenate(sto_lv)             # (nodes,)
+    nemp = jnp.concatenate(emp_lv)
+    nodes = nlf.shape[0]                       # 2*qpl - 1
+    is_leaf = jnp.arange(nodes, dtype=I32) < qpl
+
+    # ---- per-node ESTIMATED costs for the partition ---------------------
+    # Entropy + extra-bits + header-model estimate (the host r04
+    # agglomeration metric, _est_block_bits) — closed form, so the exact
+    # Huffman build runs only for the qpl ASSIGNED blocks below (the
+    # 240-node exact build measured ~45% of stage-2 exec); block TYPE is
+    # still chosen from exact bits after the build.
+    lfreq_n = nlf.at[:, 256].add(1)            # one EOB per block
+    extra_n = lfreq_n @ lext + ndf @ dext
+    ltot = jnp.sum(lfreq_n, axis=1, keepdims=True).astype(jnp.float32)
+    dtot = jnp.sum(ndf, axis=1, keepdims=True).astype(jnp.float32)
+
+    def _ent(f, tot):
+        fv = f.astype(jnp.float32)
+        safe = jnp.maximum(fv, 1.0)
+        return jnp.sum(jnp.where(f > 0,
+                                 fv * (jnp.log2(jnp.maximum(tot, 1.0))
+                                       - jnp.log2(safe)), 0.0), axis=1)
+
+    used_n = jnp.sum((lfreq_n > 0).astype(I32), axis=1) \
+        + jnp.sum((ndf > 0).astype(I32), axis=1)
+    est_dyn_n = (_ent(lfreq_n, ltot) + _ent(ndf, dtot)
+                 + extra_n.astype(jnp.float32)
+                 + 3 + 14 + 57 + 5 * used_n.astype(jnp.float32)).astype(I32)
+    sta_n = lfreq_n @ fll + ndf @ fdl + extra_n + 3
+    cost_n = jnp.minimum(jnp.minimum(est_dyn_n, sta_n), nsto)
+    # internal nodes containing an empty (tail) unit never form a block
+    cost_dp = jnp.where(~is_leaf & nemp, _INF, cost_n)
+
+    # ---- DP: optimal contiguous power-of-2 partition --------------------
+    offs = []
+    o = 0
+    for lv in range(nlev):
+        offs.append(o)
+        o += qpl >> lv
+    best_lv = [cost_dp[:qpl]]
+    split_lv = [jnp.zeros(qpl, bool)]
+    for lv in range(1, nlev):
+        cnt = qpl >> lv
+        own = jax.lax.dynamic_slice(cost_dp, (offs[lv],), (cnt,))
+        kids = best_lv[-1][0::2] + best_lv[-1][1::2]
+        split = kids < own                     # merge on ties
+        split_lv.append(split)
+        best_lv.append(jnp.where(split, kids, own))
+
+    # ---- walk down: per-unit assigned node ------------------------------
+    q = jnp.arange(qpl, dtype=I32)
+    assign = jnp.zeros(qpl, I32)
+    taken = jnp.zeros(qpl, bool)
+    lv_of = jnp.zeros(qpl, I32)
+    for lv in range(nlev - 1, -1, -1):
+        j = q >> lv
+        spl = split_lv[lv][j] if lv > 0 else jnp.zeros(qpl, bool)
+        take = ~taken & ~spl
+        assign = jnp.where(take, offs[lv] + j, assign)
+        lv_of = jnp.where(take, lv, lv_of)
+        taken = taken | take
+    span = jnp.int32(1) << lv_of               # units in my block
+    first_q = (q & (span - 1)) == 0
+    last_q = (q & (span - 1)) == span - 1
+
+    # ---- EXACT build for the qpl assigned blocks only -------------------
+    # (per-unit rows; units sharing a block duplicate the build — the
+    # batch stays statically qpl wide either way)
+    lfreq_b = lfreq_n[assign]                  # (qpl, 286) incl. EOB
+    dfreq_b = ndf[assign]
+    llen_b, lcode_b = jax.vmap(lambda f: huff_table(f, MAX_BITS))(lfreq_b)
+    dlen_b, dcode_b = jax.vmap(lambda f: huff_table(f, MAX_BITS))(dfreq_b)
+    hdr_lo_b, hdr_nb_b, hdr_bits_b = jax.vmap(
+        lambda ll, dl: dyn_header(
+            jnp.concatenate([ll, jnp.zeros(2, I32)]), dl, jnp.int32(4)))(
+                llen_b, dlen_b)
+    # exact block-type choice (trees.c:657-692): dyn vs static vs stored
+    extra_b = extra_n[assign]
+    dyn_b = jnp.sum(lfreq_b * llen_b, axis=1) \
+        + jnp.sum(dfreq_b * dlen_b, axis=1) + extra_b + hdr_bits_b
+    sta_b = sta_n[assign]
+    sto_b = nsto[assign]
+    best_code = jnp.minimum(dyn_b, sta_b)      # static wins ties (host rule)
+    use_dyn = dyn_b < sta_b
+    use_sto = sto_b < best_code + 3
+    btype_u = jnp.where(use_sto, 0, jnp.where(use_dyn, 2, 1)).astype(I32)
+    btype_u = jnp.where(unit_lens > 0, btype_u, 0)
+
+    # ---- per-unit tables + body render/pack -----------------------------
+    dynsel = (btype_u == 2)[:, None]
+    lt_u = jnp.where(dynsel,
+                     jnp.pad(llen_b, ((0, 0), (0, 2))),
+                     jnp.asarray(FIXED_LIT_LENGTHS.astype(np.int32))[None])
+    lc_u = jnp.where(dynsel, jnp.pad(lcode_b, ((0, 0), (0, 2))), flc[None])
+    dt_u = jnp.where(dynsel, dlen_b, fdl[None])
+    dc_u = jnp.where(dynsel, dcode_b, fdc[None])
+    body_packed, body_bits = jax.vmap(
+        lambda qb, a, b, c, w, x, y, z: _render_pack_unit(
+            qb, a, b, c, w, x, y, z, out_bytes))(
+                pay, tlq, tdq, seq, lt_u, lc_u, dt_u, dc_u)
+
+    # ---- per-unit header pack (first-of-block only) ---------------------
+    is_dyn_hdr = first_q & (btype_u == 2)
+    is_sta_hdr = first_q & (btype_u == 1)
+    hlo_u = jnp.where(is_dyn_hdr[:, None], hdr_lo_b.astype(U32), 0)
+    hnb_u = jnp.where(is_dyn_hdr[:, None], hdr_nb_b, 0)
+    # static header: a single 3-bit token in slot 0 (BFINAL patched on host)
+    hlo_u = hlo_u.at[:, 0].set(
+        jnp.where(is_sta_hdr, U32(2), hlo_u[:, 0]))
+    hnb_u = hnb_u.at[:, 0].set(jnp.where(is_sta_hdr, 3, hnb_u[:, 0]))
+    hdr_packed, hdr_bits = jax.vmap(
+        lambda lo, nb: hierarchical_pack(
+            lo, jnp.zeros_like(lo), nb, HDR_OUT))(hlo_u, hnb_u)
+
+    # ---- per-unit descriptor: btype | first | last | eob ----------------
+    eob_code = jnp.where(btype_u == 2, lcode_b[:, 256],
+                         flc[256]).astype(I32)
+    eob_nb = jnp.where(btype_u == 2, llen_b[:, 256], 7)
+    has_eob = last_q & (btype_u != 0)
+    desc = (btype_u | (first_q.astype(I32) << 2) | (last_q.astype(I32) << 3)
+            | (jnp.where(has_eob, eob_nb, 0) << 4)
+            | (jnp.where(has_eob, eob_code, 0) << 9))
+    meta = jnp.stack([body_bits, hdr_bits, desc], axis=1)      # (qpl, 3)
+    return body_packed, hdr_packed, meta
+
+
+@functools.partial(jax.jit, static_argnames=("lane_block", "out_bytes"))
+def _stage2_auto(flat, tok_len, tok_dist, sel, lfreqs, dfreqs, enc_ends,
+                 lane_block, out_bytes):
+    """On-device stage 2 over a lane group: tables, headers, and the block
+    partition/type choice all happen in-graph; the host only fetches packed
+    bytes + a small per-unit descriptor. lfreqs/dfreqs come straight from
+    _stage1 and never leave the device."""
+    qpl = lane_block // UNIT
+    B = tok_len.shape[0]
+    starts = LANE_HIST + jnp.arange(B, dtype=I32) * lane_block
+
+    def one(s, tl, td, se, lf, df, ee):
+        pay = jax.lax.dynamic_slice(flat, (s,),
+                                    (lane_block,)).reshape(qpl, UNIT)
+        tlq = tl.astype(I32)[LANE_HIST:].reshape(qpl, UNIT)
+        tdq = td.astype(I32)[LANE_HIST:].reshape(qpl, UNIT)
+        seq = se[LANE_HIST:].reshape(qpl, UNIT)
+        unit_lens = jnp.clip(
+            ee - LANE_HIST - jnp.arange(qpl, dtype=I32) * UNIT, 0, UNIT)
+        return _lane_stage2_auto(pay, tlq, tdq, seq, lf.astype(I32),
+                                 df.astype(I32), unit_lens, out_bytes, qpl)
+
+    return jax.vmap(one)(starts, tok_len, tok_dist, sel, lfreqs, dfreqs,
+                         enc_ends)
 
 
 @functools.partial(jax.jit, static_argnames=("lane_block", "out_bytes"))
@@ -507,179 +702,149 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
         gm["group_expect"] = []
         del gm["outs"], gm["flat_d"], gm["lfreqs_d"], gm["dfreqs_d"]
 
-    def _dispatch_stage2(gm: dict) -> None:
-        if quick:
-            return _dispatch_stage2_quick(gm)
-        g0, g1, B, Bpad = gm["g0"], gm["g1"], gm["B"], gm["Bpad"]
+    def _pick_out_bucket(g0: int, g1: int, enc_ends) -> int:
+        """Body-pack bucket from per-unit byte entropy (host-side, no
+        device round trip — the old path read exact bits from the fetched
+        freqs; the auto path keeps freqs on device). Units whose entropy
+        already exceeds ~7.2 b/B are stored-bound and don't drive the
+        bucket; a rare underestimate is caught by the overflow redispatch
+        in _dispatch_stage2_auto."""
+        worst_bits = 0
+        for i, bi in enumerate(range(g0, g1)):
+            blen = int(enc_ends[i]) - LANE_HIST
+            base = LANE_HIST + bi * lane_block
+            for q0 in range(0, blen, UNIT):
+                ul = min(UNIT, blen - q0)
+                cnt = np.bincount(vbuf[base + q0: base + q0 + ul],
+                                  minlength=256)
+                p = cnt[cnt > 0] / ul
+                H = float(-(p * np.log2(p)).sum())
+                if H > 7.2:
+                    continue
+                worst_bits = max(worst_bits, int(ul * H * 1.08) + 4096)
+        for ob in OUT_BUCKETS:
+            if worst_bits <= (ob - 8) * 8:
+                return ob
+        return OUT_BUCKETS[-1]
+
+    def _dispatch_stage2_auto(gm: dict) -> None:
+        """On-device stage 2 (round-4 verdict #2): tables, headers, and
+        the block partition all build in-graph; the host fetches a tiny
+        per-unit descriptor and (unless the whole group went stored) one
+        combined packed buffer."""
+        g0, g1, Bpad = gm["g0"], gm["g1"], gm["Bpad"]
         enc_ends, outs, flat_d = gm["enc_ends"], gm["outs"], gm["flat_d"]
-        lfreqs = np.asarray(gm["lfreqs_d"])          # (Bpad, qpl, 286)
-        dfreqs = np.asarray(gm["dfreqs_d"])          # (Bpad, qpl, 30)
-
-        # host: per-unit table build + block-type choice + header tokens
-        llen_tab = np.zeros((Bpad, qpl, 288), np.int32)
-        lcode_tab = np.zeros((Bpad, qpl, 288), np.int32)
-        dlen_tab = np.zeros((Bpad, qpl, 30), np.int32)
-        dcode_tab = np.zeros((Bpad, qpl, 30), np.int32)
-        hdr_at: dict[tuple[int, int], list[tuple[int, int]]] = {}
-        eob_at: dict[tuple[int, int], tuple[int, int]] = {}
-        stored_mask = np.zeros((Bpad, qpl), bool)
-        unit_lens = np.zeros((Bpad, qpl), np.int32)
-        max_body_bits = 0
-
-        # unit inventory in stream order (units = 16 KiB block granules)
-        units: list[tuple[int, int]] = []
+        out_bytes = _pick_out_bucket(g0, g1, enc_ends)
+        with span("deflate stage2-auto dispatch lanes[%d:%d] out=%d",
+                  g0, g1, out_bytes):
+            body, hdr, meta = _stage2_auto(
+                flat_d, outs["tok_len"], outs["tok_dist"], outs["sel"],
+                gm["lfreqs_d"], gm["dfreqs_d"],
+                jnp.asarray(enc_ends), lane_block, out_bytes)
+        meta_np = np.asarray(meta)                     # (Bpad, qpl, 3)
+        btype = meta_np[:, :, 2] & 3
+        nonstored = []
         for i, bi in enumerate(range(g0, g1)):
             blen = int(enc_ends[i]) - LANE_HIST
             for q in range(qpl):
-                ul = max(0, min(UNIT, blen - q * UNIT))
-                unit_lens[i, q] = ul
-                if ul > 0:
-                    units.append((i, q))
-
-        # stored pre-pass: a unit whose raw bytes beat its own entropy
-        # estimate is emitted stored (the per-16K stored/huff adaptivity
-        # zlib-ng gets from per-sym_buf FLUSH_BLOCK type choice).
-        # One vectorized pass over all units (scalar per-unit numpy calls
-        # were a host stage-2 bottleneck — round-3 verdict item 7).
-        est: dict[tuple[int, int], float] = {}
-        is_stored: dict[tuple[int, int], bool] = {}
-        if units:
-            ui = np.array([u[0] for u in units])
-            uq = np.array([u[1] for u in units])
-            ests = _est_block_bits_batch(
-                lfreqs[ui, uq].astype(np.int64),
-                dfreqs[ui, uq].astype(np.int64))
-            for u, e in zip(units, ests):
-                i, q = u
-                est[u] = float(e)
-                is_stored[u] = 42 + 8 * int(unit_lens[i, q]) < e
-                if is_stored[u]:
-                    stored_mask[i, q] = True
-
-        # greedy agglomeration of consecutive huff units: merge while the
-        # combined estimate beats separate blocks (one header saved vs
-        # distribution-divergence penalty) — content shifts split, homo-
-        # geneous runs share one tree (trees.c per-flush economics)
-        groups: list[list[tuple[int, int]]] = []
-        cur: list[tuple[int, int]] | None = None
-        cur_lf = cur_df = None
-        cur_est = 0.0
-        for u in units:
-            if is_stored[u]:
-                if cur:
-                    groups.append(cur)
-                cur = None
-                continue
-            i, q = u
-            lf = lfreqs[i, q].astype(np.int64)
-            df = dfreqs[i, q].astype(np.int64)
-            if cur is None:
-                cur, cur_lf, cur_df, cur_est = [u], lf, df, est[u]
-                continue
-            mlf = cur_lf + lf
-            mdf = cur_df + df
-            me = _est_block_bits(mlf, mdf)
-            if me <= cur_est + est[u]:
-                cur.append(u)
-                cur_lf, cur_df, cur_est = mlf, mdf, me
-            else:
-                groups.append(cur)
-                cur, cur_lf, cur_df, cur_est = [u], lf, df, est[u]
-        if cur:
-            groups.append(cur)
-
-        # BFINAL goes on the stream's very last unit (huff header bit here;
-        # stored units get it in the stitcher)
-        last_unit = units[-1] if (g1 == nblocks and units) else None
-
-        group_expect = []  # (units, predicted header+body bits) when tracing
-
-        for grp in groups:
-            gfinal = last_unit is not None and grp[-1] == last_unit
-            lfreq = np.zeros(286, np.int64)
-            dfreq = np.zeros(30, np.int64)
-            for (i, q) in grp:
-                lfreq += lfreqs[i, q]
-                dfreq += dfreqs[i, q]
-            lfreq[256] += 1  # one EOB per merged block
-            extra = _extra_cost(lfreq, dfreq)
-            static_bits = int((lfreq * FIXED_LIT_LENGTHS[:286]).sum()
-                              + (dfreq * FIXED_DIST_LENGTHS).sum()) + extra
-            if strategy == Z_FIXED:
-                dyn_bits = None
-            else:
-                llen, lcode = huffman_table(lfreq, MAX_BITS)
-                dlen, dcode = huffman_table(dfreq, MAX_BITS)
-                toks, hbits = build_dynamic_header(llen, dlen)
-                dyn_bits = int((lfreq * llen).sum() + (dfreq * dlen).sum()) \
-                    + extra + hbits
-            best = static_bits if dyn_bits is None else min(static_bits, dyn_bits)
-            # exact stored re-choice at group granularity (the stored-vs-
-            # coded compare of trees.c:657-692, applied after tree costs
-            # are known; the est-based pre-pass catches the obvious cases)
-            stored_bits = sum(32 + 8 * int(unit_lens[i, q]) + 7
-                              for (i, q) in grp)
-            if stored_bits < best + 3:
-                for (i, q) in grp:
-                    stored_mask[i, q] = True
-                continue
-            if dyn_bits is not None and dyn_bits < static_bits:
-                tokens = [(int(gfinal) | (2 << 1), 3)] + toks
-                ul_, ud_ = llen, dlen
-                for (i, q) in grp:
-                    llen_tab[i, q, :286], lcode_tab[i, q, :286] = llen, lcode
-                    dlen_tab[i, q], dcode_tab[i, q] = dlen, dcode
-                eob_at[grp[-1]] = (int(lcode[256]), int(llen[256]))
-            else:
-                tokens = [(int(gfinal) | (1 << 1), 3)]
-                ul_, ud_ = FIXED_LIT_LENGTHS[:286], FIXED_DIST_LENGTHS
-                for (i, q) in grp:
-                    llen_tab[i, q] = FIXED_LIT_LENGTHS
-                    lcode_tab[i, q] = FIXED_LIT_CODES_REV
-                    dlen_tab[i, q, :] = FIXED_DIST_LENGTHS
-                    dcode_tab[i, q, :] = FIXED_DIST_CODES_REV
-                eob_at[grp[-1]] = (int(FIXED_LIT_CODES_REV[256]), 7)
-            hdr_at[grp[0]] = tokens
-            # exact per-unit body-bit bound under the chosen tables (stage-2
-            # demotion only shrinks a unit) — drives the pack output bucket
-            for (i, q) in grp:
-                ub = int((lfreqs[i, q] * ul_[:286]).sum()
-                         + (dfreqs[i, q] * ud_).sum()) \
-                    + _extra_cost(lfreqs[i, q].astype(np.int64),
-                                  dfreqs[i, q].astype(np.int64))
-                max_body_bits = max(max_body_bits, ub)
-            if _trace_mod.enabled():
-                group_expect.append((list(grp), best + 3))
-
-        if not hdr_at:
-            # every live unit goes stored (jpg-class group): nothing to
-            # render or fetch — skip the stage-2 dispatch entirely
-            gm["packed_d"] = None
-            gm["totals_d"] = None
-        else:
-            out_bytes = OUT_BUCKETS[-1]
+                if min(UNIT, max(0, blen - q * UNIT)) > 0 and btype[i, q]:
+                    nonstored.append((i, q))
+        # overflow safety: the entropy bucket is an estimate; if any coded
+        # unit's exact body bits exceed the bucket, redo at the exact fit
+        need_bits = max((int(meta_np[i, q, 0]) for i, q in nonstored),
+                        default=0)
+        if need_bits > (out_bytes - 8) * 8:
             for ob in OUT_BUCKETS:
-                if max_body_bits <= (ob - 8) * 8:
+                if need_bits <= (ob - 8) * 8:
                     out_bytes = ob
                     break
-            with span("deflate stage2 dispatch lanes[%d:%d] out=%d", g0, g1,
-                      out_bytes):
-                packed, totals = _stage2(
-                    flat_d, outs["tok_len"], outs["tok_dist"],
-                    outs["sel"], jnp.asarray(llen_tab),
-                    jnp.asarray(lcode_tab), jnp.asarray(dlen_tab),
-                    jnp.asarray(dcode_tab), lane_block, out_bytes)
-            gm["packed_d"] = packed
-            gm["totals_d"] = totals
-        gm["stored_mask"] = stored_mask
-        gm["unit_lens"] = unit_lens
-        gm["hdr_at"] = hdr_at
-        gm["eob_at"] = eob_at
-        gm["group_expect"] = group_expect
-        # stage1 intermediates are no longer needed on device
+            else:
+                out_bytes = OUT_BUCKETS[-1]
+            trace("stage2-auto bucket overflow: redispatch at %d", out_bytes)
+            body, hdr, meta = _stage2_auto(
+                flat_d, outs["tok_len"], outs["tok_dist"], outs["sel"],
+                gm["lfreqs_d"], gm["dfreqs_d"],
+                jnp.asarray(enc_ends), lane_block, out_bytes)
+            meta_np = np.asarray(meta)
+        gm["body_d"] = body if nonstored else None
+        gm["hdr_d"] = hdr if nonstored else None
+        gm["meta"] = meta_np
         del gm["outs"], gm["flat_d"], gm["lfreqs_d"], gm["dfreqs_d"]
 
+    def _stitch_auto(gm: dict) -> None:
+        meta = gm["meta"]
+        body = np.asarray(gm["body_d"]) if gm["body_d"] is not None else None
+        hdr = np.asarray(gm["hdr_d"]) if gm["hdr_d"] is not None else None
+        g0, g1 = gm["g0"], gm["g1"]
+        enc_ends = gm["enc_ends"]
+        # locate the stream-final coded block's first unit (BFINAL patch)
+        patch_at = None
+        if g1 == nblocks:
+            i_last = g1 - g0 - 1
+            blen = int(enc_ends[i_last]) - LANE_HIST
+            if blen > 0:
+                q_last = (blen - 1) // UNIT
+                if meta[i_last, q_last, 2] & 3:        # coded, not stored
+                    q_first = q_last
+                    while q_first > 0 and not (
+                            (meta[i_last, q_first, 2] >> 2) & 1):
+                        q_first -= 1
+                    patch_at = (i_last, q_first)
+        blk_bits = 0
+        blk_stored_bound = 0
+        for i, bi in enumerate(range(g0, g1)):
+            blen = int(enc_ends[i]) - LANE_HIST
+            for q in range(qpl):
+                ul = min(UNIT, max(0, blen - q * UNIT))
+                if ul <= 0:
+                    continue
+                body_bits, hdr_bits, desc = (int(x) for x in meta[i, q])
+                btype_u = desc & 3
+                if btype_u == 0:
+                    final = (bi == nblocks - 1) and (q * UNIT + ul == blen)
+                    pad = (8 - ((stitch.bits + 3) & 7)) & 7
+                    stitch.append_tokens([
+                        (int(final), 1), (0, 2), (0, pad),
+                        (ul, 16), (~ul & 0xFFFF, 16)])
+                    off = LANE_HIST + bi * lane_block + q * UNIT
+                    stitch.append(vbuf[off:off + ul], ul * 8)
+                    continue
+                if (desc >> 2) & 1:                    # first of block
+                    hp = hdr[i, q]
+                    if patch_at == (i, q):
+                        hp = hp.copy()
+                        hp[0] |= 1                     # BFINAL
+                    stitch.append(hp, hdr_bits)
+                    blk_bits = hdr_bits
+                    blk_stored_bound = 0
+                stitch.append(body[i, q], body_bits)
+                blk_bits += body_bits
+                blk_stored_bound += 42 + 8 * ul
+                eob_nb = (desc >> 4) & 0x1F
+                if eob_nb:                             # last of block
+                    stitch.append_tokens([((desc >> 9) & 0x7FFF, eob_nb)])
+                    blk_bits += eob_nb
+                    if _trace_mod.enabled():
+                        # bits_sent audit (trees.c:693 analog): a coded
+                        # block must beat its own stored form + 3
+                        audit["groups_checked"] += 1
+                        if blk_bits > blk_stored_bound + 3:
+                            audit["bit_overruns"] += 1
+                        trace("deflate block bits_sent=%d stored_bound=%d%s",
+                              blk_bits, blk_stored_bound + 3,
+                              " OVERRUN" if blk_bits > blk_stored_bound + 3
+                              else "")
+        gm.pop("body_d", None)
+        gm.pop("hdr_d", None)
+
+    def _dispatch_stage2(gm: dict) -> None:
+        if quick:
+            return _dispatch_stage2_quick(gm)
+        return _dispatch_stage2_auto(gm)
+
     def _stitch(gm: dict) -> None:
+        if "meta" in gm:                             # stage2-auto format
+            return _stitch_auto(gm)
         if gm["packed_d"] is None:                   # all-stored group
             packed = totals = None
         else:
