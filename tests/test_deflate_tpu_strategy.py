@@ -162,11 +162,11 @@ def test_tpu_full_lane_payload_roundtrip(corpus):
     positions and pos_bits must widen to 18."""
     from zlibng_tpu.ops.deflate_tpu import LANE_BLOCK, LANE_HIST, LANE_BLOCKS
 
-    n = 2 * LANE_BLOCK + 4096
+    n = 2 * LANE_BLOCK
     # pin the bucket selection itself: the chooser must pick the max lane
     picked = min(LANE_BLOCKS, key=lambda lb: (-(-n // lb) * (lb + LANE_HIST),
                                               -lb))
-    assert picked == LANE_BLOCK, "payload no longer selects 128 KiB lanes"
+    assert picked == LANE_BLOCK, "payload no longer selects the max lane"
     data = (corpus["text"] * 9)[:n]
     for lvl in (1, 6):
         c = compress_tpu(data, lvl)

@@ -81,3 +81,36 @@ def test_probe_kernel_vmaps_over_lanes():
         s1, c1 = _probe_best_xla(w2[i], hs[i], ps[i], hv[i], 8, 16, 12)
         np.testing.assert_array_equal(np.asarray(s_b[i]), np.asarray(s1))
         np.testing.assert_array_equal(np.asarray(c_b[i]), np.asarray(c1))
+
+
+@pytest.mark.parametrize("kind", ["text", "random"])
+def test_probe_kernel_w2_narrow(kind):
+    """chain <= 2 (L1/L2) uses 8-byte probe rows (W=2); the kernel's width
+    comes from the input shape and must stay bit-identical to XLA."""
+    N = 4096
+    if kind == "text":
+        raw = open("/root/reference/test/data/lcet10.txt", "rb").read()[:N]
+        data = np.frombuffer(raw, np.uint8)
+    else:
+        data = np.random.default_rng(2).integers(0, 8, N, dtype=np.uint8)
+    w2_s, h_sorted, pos_s = _mk_inputs(data, 100)
+    w2_s = w2_s[:, :2]                     # narrow probe rows
+    s_ref, c_ref = _probe_best_xla(w2_s, h_sorted, pos_s, 100, 2, 16, 8)
+    s_pl, c_pl = probe_best_pallas(w2_s, h_sorted, pos_s, 100, 2, 16, 8,
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_pl))
+    np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_pl))
+
+
+@pytest.mark.parametrize("md", [512, 4096])
+def test_probe_kernel_reduced_window(md):
+    """max_dist (reduced windowBits) masks candidates identically."""
+    raw = open("/root/reference/test/data/lcet10.txt", "rb").read()[:4096]
+    data = np.frombuffer(raw, np.uint8)
+    w2_s, h_sorted, pos_s = _mk_inputs(data, 0)
+    s_ref, c_ref = _probe_best_xla(w2_s, h_sorted, pos_s, 0, 16, 16, 12,
+                                   max_dist=md)
+    s_pl, c_pl = probe_best_pallas(w2_s, h_sorted, pos_s, 0, 16, 16, 12,
+                                   max_dist=md, interpret=True)
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_pl))
+    np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_pl))

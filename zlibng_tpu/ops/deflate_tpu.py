@@ -41,6 +41,23 @@ from .. import trace as _trace_mod
 # bit-accounting audit counters (trees.c:693 compressed_len == bits_sent
 # analog; populated only while tracing is enabled — see trace.py)
 audit = {"groups_checked": 0, "bit_overruns": 0}
+# host<->device transfer accounting (bytes), reset/read by bench.py to make
+# the tunnel-bandwidth share of the wall time an arithmetic fact rather
+# than prose (round-4 verdict #8)
+transfer_stats = {"up": 0, "down": 0}
+
+
+def _up(x):
+    import numpy as _np
+    transfer_stats["up"] += _np.asarray(x).nbytes
+    return jnp.asarray(x)
+
+
+def _down(x):
+    import numpy as _np
+    r = _np.asarray(x)
+    transfer_stats["down"] += r.nbytes
+    return r
 from .bitpack_jax import render_body_tokens
 from .bitpack_merge import hierarchical_pack
 from .lz77_jax import lane_freqs, lz77_lane
@@ -51,9 +68,10 @@ LANE_HIST = WINDOW_SIZE          # 32768
 # amortize that overhead (33% of positions at 64K payload, 11% at 256K —
 # measured +30% encode throughput going 64K -> 128K on the tunnel device);
 # small inputs stay on small lanes to keep latency proportional to size.
-# (256K lanes measured ~10% slower than 128K on-device — sort depth and
-# tail padding outweigh the smaller history share — so 128K is the cap)
-LANE_BLOCKS = (1 << 16, 1 << 17)
+# (round-3 measured 256K ~10% slower than 128K, but that predates the
+# run-fused parse, scan placement, and the sort-carried probe rows —
+# round-5 A/B on a healthy tunnel: 256K is +4% at L6 and +9% at L1)
+LANE_BLOCKS = (1 << 16, 1 << 17, 1 << 18)
 LANE_BLOCK = LANE_BLOCKS[-1]     # default/maximum payload per lane
 LANE = LANE_HIST + LANE_BLOCK
 UNIT = 1 << 14                   # 16384: stored/tree choice granule
@@ -159,8 +177,11 @@ def _render_pack_unit(qbytes, tl, td, se, lt, lc, dt, dc, out_bytes):
     # the final render reads both, so each table is looked up ONCE
     # (the old structure re-looked-up post-demotion symbols; demotion
     # only ever flips match -> literal and both variants are in hand)
-    lit_tab = jnp.stack([lc.astype(I32), lt.astype(I32)], axis=1)
-    lit_full = lookup2d(qbytes.astype(I32), lit_tab, 18)       # (N, 2)
+    # (code, len) packed into ONE column (code < 2^15, len <= 15 ->
+    # value < 2^20, exact in lookup2d's f32): halves the widest lookup
+    lit_tab = (lc.astype(I32) | (lt.astype(I32) << 16))[:, None]
+    lit_packed = lookup2d(qbytes.astype(I32), lit_tab, 18)[:, 0]
+    lit_full = jnp.stack([lit_packed & 0xFFFF, lit_packed >> 16], axis=1)
     len_tab = jnp.stack([
         jnp.concatenate([lc[257:287].astype(I32), jnp.zeros(2, I32)]),
         jnp.concatenate([lt[257:287].astype(I32), jnp.zeros(2, I32)]),
@@ -435,16 +456,99 @@ def _stage2(flat, tok_len, tok_dist, sel,
                          llen_tab, lcode_tab, dlen_tab, dcode_tab)
 
 
-@functools.partial(jax.jit, static_argnames=("lane_block", "out_bytes"))
-def _stage2_fixed(flat, tok_len, tok_dist, sel, lane_block, out_bytes):
-    """Fixed-tree stage 2 (the deflate_quick design point, deflate_quick.c:
-    47-130): the RFC static tables are compiled into the graph, so the
-    dispatch uploads NOTHING but the token arrays already on device — no
-    per-unit table upload, no host tree build, no frequency fetch."""
-    lt = jnp.asarray(FIXED_LIT_LENGTHS.astype(np.int32))
-    lc = jnp.asarray(FIXED_LIT_CODES_REV.astype(np.int32))
-    dt = jnp.asarray(FIXED_DIST_LENGTHS.astype(np.int32))
-    dc = jnp.asarray(FIXED_DIST_CODES_REV.astype(np.int32))
+def _bitrev16(v: jnp.ndarray) -> jnp.ndarray:
+    """Bit-reverse the low 16 bits of a u32 (4 swap stages)."""
+    v = ((v & 0x5555) << 1) | ((v >> 1) & 0x5555)
+    v = ((v & 0x3333) << 2) | ((v >> 2) & 0x3333)
+    v = ((v & 0x0F0F) << 4) | ((v >> 4) & 0x0F0F)
+    v = ((v & 0x00FF) << 8) | ((v >> 8) & 0x00FF)
+    return v
+
+
+def _static_lit_code(sym: jnp.ndarray):
+    """(lsb_first_code, nbits) of the RFC 1951 §3.2.6 static literal/length
+    code — closed form, no table gather (the quick path's tables are pure
+    arithmetic: 0-143 -> 8 bits from 0x30, 144-255 -> 9 from 0x190,
+    256-279 -> 7 from 0, 280-287 -> 8 from 0xC0)."""
+    nb = jnp.where(sym < 144, 8,
+                   jnp.where(sym < 256, 9, jnp.where(sym < 280, 7, 8)))
+    base = jnp.where(
+        sym < 144, 0x30 + sym,
+        jnp.where(sym < 256, 0x190 + sym - 144,
+                  jnp.where(sym < 280, sym - 256, 0xC0 + sym - 280)))
+    return (_bitrev16(base.astype(U32)) >> (16 - nb).astype(U32)), nb
+
+
+def _render_pack_unit_fixed(qbytes, tl, td, se, out_bytes, demote: bool):
+    """Static-tree render + pack of one unit with ALL codes computed
+    arithmetically (no one-hot table lookups — they were ~half the render
+    cost, and the static tables are closed-form). `demote` enables the
+    cost-model match demotion; the L1 quick path skips it (zlib-ng's
+    deflate_quick emits matches unconditionally, deflate_quick.c:47-130)."""
+    from .bitpack_jax import _or_field
+    from .lz77_jax import (
+        dist_code_arith, dist_extra_arith, length_code_arith,
+        length_extra_arith,
+    )
+    tl = tl.astype(I32)
+    td = td.astype(I32)
+    N = qbytes.shape[0]
+    pos = jnp.arange(N, dtype=I32)
+    is_match = (tl > 0) & se
+    lsm = length_code_arith(jnp.maximum(tl, 3))
+    dsm = jnp.where(is_match, dist_code_arith(jnp.maximum(td, 1)), 0)
+    le_, lv_ = length_extra_arith(jnp.maximum(tl, 3))
+    de_, dv_ = dist_extra_arith(jnp.maximum(td, 1))
+    lit_code, lit_nb = _static_lit_code(qbytes.astype(I32))
+    mcode, mnb = _static_lit_code(lsm)
+    dcode_all = _bitrev16(dsm.astype(U32)) >> U32(11)          # 5-bit codes
+
+    if demote:
+        # literal cost of every byte in the span (static: 8 or 9 bits,
+        # every byte codable — no undecodable-span marker needed)
+        match_bits = mnb + le_ + 5 + de_
+        csum = jnp.concatenate([jnp.zeros(1, I32), jnp.cumsum(lit_nb)])
+        endq = jnp.clip(pos + tl, 0, N)
+        span_bits = csum[endq] - csum[:-1]
+        demote_m = is_match & (match_bits > span_bits)
+        end_max = jax.lax.cummax(jnp.where(demote_m, pos + tl, 0))
+        covered = pos < end_max
+        se = se | covered
+        is_match = is_match & ~covered
+
+    fm = is_match
+    code0 = jnp.where(fm, mcode, lit_code).astype(U32)
+    n0 = jnp.where(fm, mnb, lit_nb)
+    le = jnp.where(fm, le_, 0)
+    lv = jnp.where(fm, lv_, 0).astype(U32)
+    dcode = jnp.where(fm, dcode_all, 0).astype(U32)
+    dn = jnp.where(fm, 5, 0)
+    de = jnp.where(fm, de_, 0)
+    dv = jnp.where(fm, dv_, 0).astype(U32)
+    lo = code0
+    hi = jnp.zeros_like(code0)
+    sh = n0
+    lo, hi = _or_field(lo, hi, lv, sh)
+    sh = sh + le
+    lo, hi = _or_field(lo, hi, dcode, sh)
+    sh = sh + dn
+    lo, hi = _or_field(lo, hi, dv, sh)
+    nb = jnp.where(se, n0 + le + dn + de, 0)
+    lo = jnp.where(se, lo, 0)
+    hi = jnp.where(se, hi, 0)
+    return hierarchical_pack(lo, hi, nb, out_bytes)
+
+
+@functools.partial(jax.jit, static_argnames=("lane_block", "out_bytes",
+                                             "cap"))
+def _stage2_fixed_compact(flat, tok_len, tok_dist, sel, offsets, lane_block,
+                          out_bytes, cap):
+    """L1 quick path with COMPACT output: units pack as usual, then a
+    serial placement loop copies each unit's bytes to its exact host-known
+    offset (demotion is off, so the stage-1 static bit counts are exact
+    and the host precomputes identical offsets). ONE flat fetch of
+    ~compressed-size bytes replaces the (B, qpl, out_bytes) bucket fetch
+    (round-4 verdict #4: ~30% of the quick-path group fetch)."""
     qpl = lane_block // UNIT
     B = tok_len.shape[0]
     starts = LANE_HIST + jnp.arange(B, dtype=I32) * lane_block
@@ -455,8 +559,41 @@ def _stage2_fixed(flat, tok_len, tok_dist, sel, lane_block, out_bytes):
         tlq = tl.astype(I32)[LANE_HIST:].reshape(qpl, UNIT)
         tdq = td.astype(I32)[LANE_HIST:].reshape(qpl, UNIT)
         seq = se[LANE_HIST:].reshape(qpl, UNIT)
-        return jax.vmap(lambda qb, a, b, c: _render_pack_unit(
-            qb, a, b, c, lt, lc, dt, dc, out_bytes))(pay, tlq, tdq, seq)
+        return jax.vmap(lambda qb, a, b, c: _render_pack_unit_fixed(
+            qb, a, b, c, out_bytes, False))(pay, tlq, tdq, seq)
+
+    packed, totals = jax.vmap(one)(starts, tok_len, tok_dist, sel)
+    rows = packed.reshape(B * qpl, out_bytes)
+    out = jnp.zeros(cap + out_bytes, jnp.uint8)
+
+    def place(u, out):
+        return jax.lax.dynamic_update_slice(out, rows[u], (offsets[u],))
+
+    out = jax.lax.fori_loop(0, B * qpl, place, out)
+    return out[:cap]
+
+
+@functools.partial(jax.jit, static_argnames=("lane_block", "out_bytes",
+                                             "demote"))
+def _stage2_fixed(flat, tok_len, tok_dist, sel, lane_block, out_bytes,
+                  demote=True):
+    """Fixed-tree stage 2 (the deflate_quick design point, deflate_quick.c:
+    47-130): static codes are computed arithmetically in-graph, so the
+    dispatch uploads NOTHING but the token arrays already on device — no
+    per-unit table upload, no host tree build, no frequency fetch, no
+    one-hot table lookups."""
+    qpl = lane_block // UNIT
+    B = tok_len.shape[0]
+    starts = LANE_HIST + jnp.arange(B, dtype=I32) * lane_block
+
+    def one(s, tl, td, se):
+        pay = jax.lax.dynamic_slice(flat, (s,),
+                                    (lane_block,)).reshape(qpl, UNIT)
+        tlq = tl.astype(I32)[LANE_HIST:].reshape(qpl, UNIT)
+        tdq = td.astype(I32)[LANE_HIST:].reshape(qpl, UNIT)
+        seq = se[LANE_HIST:].reshape(qpl, UNIT)
+        return jax.vmap(lambda qb, a, b, c: _render_pack_unit_fixed(
+            qb, a, b, c, out_bytes, demote))(pay, tlq, tdq, seq)
 
     return jax.vmap(one)(starts, tok_len, tok_dist, sel)
 
@@ -636,7 +773,7 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
         for i, bi in enumerate(range(g0, g1)):
             enc_ends[i] = LANE_HIST + min(lane_block, n - bi * lane_block)
             hist_valids[i] = first_hist_valid if bi == 0 else 0
-        flat_d = jnp.asarray(flat)
+        flat_d = _up(flat)
         with span("deflate stage1 dispatch lanes[%d:%d] Bpad=%d", g0, g1,
                   Bpad):
             outs, lfreqs_d, dfreqs_d = _stage1(
@@ -653,7 +790,7 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
         tree build, no table upload (constants live in _stage2_fixed)."""
         g0, g1, Bpad = gm["g0"], gm["g1"], gm["Bpad"]
         enc_ends, outs, flat_d = gm["enc_ends"], gm["outs"], gm["flat_d"]
-        fb = np.asarray(gm["lfreqs_d"])              # (Bpad, qpl) static bits
+        fb = _down(gm["lfreqs_d"])              # (Bpad, qpl) static bits
         hdr_at: dict[tuple[int, int], list[tuple[int, int]]] = {}
         eob_at: dict[tuple[int, int], tuple[int, int]] = {}
         stored_mask = np.zeros((Bpad, qpl), bool)
@@ -677,24 +814,48 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                 max_body_bits = max(max_body_bits, int(fb[i, q]))
         if g1 == nblocks and last is not None and last in hdr_at:
             hdr_at[last] = [(1 | (1 << 1), 3)]          # BFINAL on the tail
-        if not hdr_at:
-            # every live unit goes stored (jpg-class group): nothing to
-            # render or fetch — skip the stage-2 dispatch entirely
-            gm["packed_d"] = None
-            gm["totals_d"] = None
-        else:
+        gm["packed_d"] = None
+        gm["totals_d"] = None
+        if hdr_at:
             out_bytes = OUT_BUCKETS[-1]
             for ob in OUT_BUCKETS:
                 if max_body_bits <= (ob - 8) * 8:
                     out_bytes = ob
                     break
-            with span("deflate stage2-fixed dispatch lanes[%d:%d] out=%d",
-                      g0, g1, out_bytes):
-                packed, totals = _stage2_fixed(
-                    flat_d, outs["tok_len"], outs["tok_dist"], outs["sel"],
-                    lane_block, out_bytes)
-            gm["packed_d"] = packed
-            gm["totals_d"] = totals
+            if strategy == Z_FIXED:
+                # explicit Z_FIXED keeps cost-model demotion for quality;
+                # actual bit counts then come back from the device
+                with span("deflate stage2-fixed dispatch lanes[%d:%d] "
+                          "out=%d", g0, g1, out_bytes):
+                    packed, totals = _stage2_fixed(
+                        flat_d, outs["tok_len"], outs["tok_dist"],
+                        outs["sel"], lane_block, out_bytes, demote=True)
+                gm["packed_d"] = packed
+                gm["totals_d"] = totals
+            else:
+                # L1: no demotion (deflate_quick emits unconditionally), so
+                # fb is EXACT — compact the output at host-known offsets
+                # and fetch ~compressed-size bytes in ONE array
+                offsets = np.zeros((Bpad, qpl), np.int32)
+                cur = 0
+                for i, bi in enumerate(range(g0, g1)):
+                    for q in range(qpl):
+                        offsets[i, q] = cur
+                        if unit_lens[i, q] > 0 and not stored_mask[i, q]:
+                            cur += (int(fb[i, q]) + 7) >> 3
+                # pad lanes must place their garbage in the tail slack,
+                # never at 0 (they would overwrite unit 0's bytes)
+                offsets[g1 - g0:, :] = cur
+                cap = -(-max(cur, 1) // (1 << 17)) * (1 << 17)  # 128K steps
+                with span("deflate stage2-quick-compact lanes[%d:%d] "
+                          "out=%d cap=%d", g0, g1, out_bytes, cap):
+                    flat_packed = _stage2_fixed_compact(
+                        flat_d, outs["tok_len"], outs["tok_dist"],
+                        outs["sel"], jnp.asarray(offsets.reshape(-1)),
+                        lane_block, out_bytes, cap)
+                gm["flat_packed_d"] = flat_packed
+                gm["unit_off"] = offsets
+                gm["unit_bits"] = fb
         gm["stored_mask"] = stored_mask
         gm["unit_lens"] = unit_lens
         gm["hdr_at"] = hdr_at
@@ -741,7 +902,7 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                 flat_d, outs["tok_len"], outs["tok_dist"], outs["sel"],
                 gm["lfreqs_d"], gm["dfreqs_d"],
                 jnp.asarray(enc_ends), lane_block, out_bytes)
-        meta_np = np.asarray(meta)                     # (Bpad, qpl, 3)
+        meta_np = _down(meta)                          # (Bpad, qpl, 3)
         btype = meta_np[:, :, 2] & 3
         nonstored = []
         for i, bi in enumerate(range(g0, g1)):
@@ -765,7 +926,7 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                 flat_d, outs["tok_len"], outs["tok_dist"], outs["sel"],
                 gm["lfreqs_d"], gm["dfreqs_d"],
                 jnp.asarray(enc_ends), lane_block, out_bytes)
-            meta_np = np.asarray(meta)
+            meta_np = _down(meta)
         gm["body_d"] = body if nonstored else None
         gm["hdr_d"] = hdr if nonstored else None
         gm["meta"] = meta_np
@@ -773,8 +934,8 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
 
     def _stitch_auto(gm: dict) -> None:
         meta = gm["meta"]
-        body = np.asarray(gm["body_d"]) if gm["body_d"] is not None else None
-        hdr = np.asarray(gm["hdr_d"]) if gm["hdr_d"] is not None else None
+        body = _down(gm["body_d"]) if gm["body_d"] is not None else None
+        hdr = _down(gm["hdr_d"]) if gm["hdr_d"] is not None else None
         g0, g1 = gm["g0"], gm["g1"]
         enc_ends = gm["enc_ends"]
         # locate the stream-final coded block's first unit (BFINAL patch)
@@ -845,11 +1006,15 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
     def _stitch(gm: dict) -> None:
         if "meta" in gm:                             # stage2-auto format
             return _stitch_auto(gm)
-        if gm["packed_d"] is None:                   # all-stored group
+        flat_pk = None
+        if gm.get("flat_packed_d") is not None:      # quick-compact format
+            flat_pk = _down(gm["flat_packed_d"])
+            packed = totals = None
+        elif gm["packed_d"] is None:                 # all-stored group
             packed = totals = None
         else:
-            packed = np.asarray(gm["packed_d"])      # (Bpad, qpl, out_bytes)
-            totals = np.asarray(gm["totals_d"])      # (Bpad, qpl)
+            packed = _down(gm["packed_d"])           # (Bpad, qpl, out_bytes)
+            totals = _down(gm["totals_d"])           # (Bpad, qpl)
         stored_mask, unit_lens = gm["stored_mask"], gm["unit_lens"]
         hdr_at, eob_at = gm["hdr_at"], gm["eob_at"]
         # bits_sent invariant (trees.c:693 analog): predicted bits are an
@@ -883,11 +1048,18 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                     hdr = hdr_at.get((i, q))
                     if hdr is not None:
                         stitch.append_tokens(hdr)
-                    stitch.append(packed[i, q], int(totals[i, q]))
+                    if flat_pk is not None:
+                        bits = int(gm["unit_bits"][i, q])
+                        off = int(gm["unit_off"][i, q])
+                        stitch.append(flat_pk[off: off + ((bits + 7) >> 3)],
+                                      bits)
+                    else:
+                        stitch.append(packed[i, q], int(totals[i, q]))
                     eob = eob_at.get((i, q))
                     if eob is not None:
                         stitch.append_tokens([eob])
         del gm["packed_d"], gm["totals_d"]
+        gm.pop("flat_packed_d", None)
 
     inflight: list[dict] = []
     done: list[dict] = []

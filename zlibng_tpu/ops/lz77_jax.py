@@ -210,23 +210,28 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
         # ---- candidates via one stable sort ----------------------------
         # TPU design: all candidate comparisons happen between entries
         # ADJACENT in (hash, pos) sorted order, so they are array *shifts*,
-        # not gathers. Only three gathers remain: the sorted 8-byte probe
-        # rows, the winner map-back through the inverse permutation, and
-        # the winner extension rows — each a wide contiguous row gather.
-        order = jnp.argsort(h, stable=True).astype(I32)     # (N,)
+        # not gathers. The probe rows ride ALONG the sort as extra
+        # operands: XLA's batched sort moves payload columns at sequential
+        # bandwidth, while the old post-sort w2[order] row gather paid
+        # point-gather cost (measured 62 ms -> ~4 ms per 16x160K group).
+        # Longer probes break winner ties that chain-order heuristics get
+        # wrong (measured: ≈2% ratio for 16B vs 4B). Do NOT narrow the
+        # probes for chain <= 2: L1's nice (16) fits inside the 16-byte
+        # probe, so W=4 makes the probe length EXACT and the whole wide-
+        # extension stage statically disappears (n_ext <= N_PROBE below) —
+        # measured: W=2 re-enabled extension and cost L1 ~25% throughput
+        # and ~13% ratio on text.
+        W = PROBE_WORDS
+        ws = [w4[4 * i: N + 4 * i] for i in range(W)]
+        sorted_ops = jax.lax.sort((h, pos) + tuple(ws), dimension=0,
+                                  num_keys=2)
+        h_sorted, pos_s = sorted_ops[0], sorted_ops[1]
+        w2_s = jnp.stack(sorted_ops[2:], axis=1)            # (N, W)
         # inverse permutation by scatter (O(N)) — a second argsort would
         # pay the full bitonic-network cost again just to invert
-        inv = jnp.zeros(N, I32).at[order].set(pos)
-        h_sorted = h[order]
-        # probe rows (PROBE_WORDS u32 words each) — longer probes break
-        # winner ties that chain-order heuristics get wrong (measured:
-        # ≈2% ratio for 16B vs 4B)
-        W = PROBE_WORDS
-        w2 = jnp.stack([w4[4 * i: N + 4 * i] for i in range(W)], axis=1)
-        w2_s = w2[order]                                    # row gather
+        inv = jnp.zeros(N, I32).at[pos_s].set(pos)
 
         NEG = jnp.int32(-(1 << 30))
-        pos_s = order
         dense = min(chain, DENSE_PROBES)
         # the deflateTune `good` knob (match_tpl.h:84-88 chain quartering):
         # after GATE_DEPTH probes, rows whose best probe already reaches
@@ -234,7 +239,7 @@ def lz77_lane(data: jnp.ndarray, enc_start: jnp.ndarray, enc_end: jnp.ndarray,
         # shifted compares) but their updates are masked for settled rows,
         # matching the compacted path's hunt gate semantics exactly.
         GATE_DEPTH = 16
-        good_l16 = max(4, min(good, 16))
+        good_l16 = max(4, min(good, 4 * W))
         if jax.default_backend() == "tpu" and N % 128 == 0:
             # fused kernel: all dense shifted compares run in VMEM — one
             # HBM read of the probe planes instead of one per pass

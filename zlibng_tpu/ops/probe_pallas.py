@@ -49,16 +49,16 @@ def _ctz_bytes32_i(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _probe_kernel(dense: int, gate_depth: int, good_l16: int, max_dist: int,
-                  R: int,
+                  R: int, W: int,
                   params_ref, body_ref, halo_ref, score_ref, cand_ref):
     hv = params_ref[0, 0]
-    # halo block is (1, 6, 128) — Mosaic requires the last two block dims
+    # halo block is (1, W+2, 128) — Mosaic requires the last two block dims
     # (8,128)-divisible or full-size, so the tile axis leads
     full = jnp.concatenate([halo_ref[0][:, None, :], body_ref[:]],
-                           axis=1)                              # (6,R+1,128)
-    q = [full[w, 1:, :] for w in range(_W)]
-    qh = full[_W, 1:, :]
-    qpos = full[_W + 1, 1:, :]
+                           axis=1)                              # (W+2,R+1,128)
+    q = [full[w, 1:, :] for w in range(W)]
+    qh = full[W, 1:, :]
+    qpos = full[W + 1, 1:, :]
     neg = jnp.int32(_NEG)
     bs = jnp.full((R, 128), neg, I32)
     bc = jnp.zeros((R, 128), I32)
@@ -78,13 +78,13 @@ def _probe_kernel(dense: int, gate_depth: int, good_l16: int, max_dist: int,
             r = pltpu.roll(p, k, 1)
             return jnp.where(lane < k, r[:-1, :], r[1:, :])
 
-        x = q[_W - 1] ^ sh(full[_W - 1])
+        x = q[W - 1] ^ sh(full[W - 1])
         l16 = _ctz_bytes32_i(x)
-        for w in range(_W - 2, -1, -1):
+        for w in range(W - 2, -1, -1):
             x = q[w] ^ sh(full[w])
             l16 = jnp.where(x != 0, _ctz_bytes32_i(x), 4 + l16)
-        ch = sh(full[_W])
-        cpos = sh(full[_W + 1])
+        ch = sh(full[W])
+        cpos = sh(full[W + 1])
         dist = qpos - cpos
         ok = (qh == ch) & (cpos >= hv) & (dist <= max_dist) & (dist > 0)
         score = jnp.where(ok, (l16 << 20) - dist, neg)
@@ -114,23 +114,26 @@ def probe_best_pallas(w2_s: jnp.ndarray, h_sorted: jnp.ndarray,
                       dense: int, gate_depth: int, good_l16: int,
                       max_dist: int = _WINDOW,
                       interpret: bool = False):
-    """Fused dense probe sweep. w2_s: (N, W) uint32 sorted probe rows;
-    h_sorted/pos_s: (N,) int32. Returns (best_score, best_cand) (N,) i32,
-    identical to the XLA dense loop in lz77_jax._probe_best_xla."""
+    """Fused dense probe sweep. w2_s: (N, W) uint32 sorted probe rows
+    (W = 2 or 4 probe words, static from the input shape); h_sorted/pos_s:
+    (N,) int32. Returns (best_score, best_cand) (N,) i32, identical to the
+    XLA dense loop in lz77_jax._probe_best_xla."""
     N = h_sorted.shape[0]
+    W = w2_s.shape[1]
+    P = W + 2
     assert N % 128 == 0, N
     NR = N // 128
     R = _pick_tile_rows(NR)
     grid = NR // R
 
     planes = jnp.stack(
-        [w2_s[:, w].astype(I32).reshape(NR, 128) for w in range(_W)]
+        [w2_s[:, w].astype(I32).reshape(NR, 128) for w in range(W)]
         + [h_sorted.reshape(NR, 128), pos_s.reshape(NR, 128)],
-        axis=0)                                         # (6, NR, 128)
+        axis=0)                                         # (P, NR, 128)
     # halo row for tile i = flat row i*R - 1, tile axis LEADING so the
     # trailing block dims stay full-size (6, 128) for Mosaic; tile 0 pads
     # (h = -1 so the same-hash test can never match before the first row)
-    pad = jnp.zeros((1, 6, 128), I32).at[:, _W].set(-1)
+    pad = jnp.zeros((1, P, 128), I32).at[:, W].set(-1)
     if grid > 1:
         halo = jnp.concatenate(
             [pad, jnp.swapaxes(planes[:, R - 1::R, :][:, :grid - 1, :],
@@ -140,16 +143,16 @@ def probe_best_pallas(w2_s: jnp.ndarray, h_sorted: jnp.ndarray,
     params = jnp.reshape(jnp.asarray(hist_valid_from, I32), (1, 1))
 
     kern = functools.partial(_probe_kernel, dense, gate_depth, good_l16,
-                             max_dist, R)
+                             max_dist, R, W)
     score, cand = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((6, R, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((P, R, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, P, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
