@@ -33,7 +33,7 @@ def test_trace_engine_routing_and_bits(corpus):
     assert "inflate route=device" in text
     # per-dispatch spans traced with timings
     assert "deflate stage1 dispatch" in text and " ms" in text
-    assert "deflate stage2 dispatch" in text
+    assert "deflate stage2-auto dispatch" in text
     # bit accounting: every huff group checked, none exceeded its
     # predicted header+body bits (demotion can only shrink a block)
     assert D.audit["groups_checked"] > audit0["groups_checked"]

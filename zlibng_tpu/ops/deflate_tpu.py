@@ -147,8 +147,8 @@ def _stage1(flat, enc_ends, hist_valids, lane_block, chain, lazy, max_lazy,
 
 def _render_pack_unit(qbytes, tl, td, se, lt, lc, dt, dc, out_bytes):
     """Demotion + render + pack of one 16 KiB unit against (lt, lc, dt, dc)
-    code tables — the shared core of the dynamic (_stage2) and fixed-tree
-    (_stage2_fixed) paths."""
+    code tables — the render core of the on-device stage 2
+    (_stage2_auto)."""
     from .bitpack_jax import _or_field
     from .lz77_jax import (
         dist_code_arith, dist_extra_arith, length_code_arith,
@@ -401,6 +401,26 @@ def _lane_stage2_auto(pay, tlq, tdq, seq, lfreq_u, dfreq_u, unit_lens,
     return body_packed, hdr_packed, meta
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_units(body, hdr, offs, cap):
+    """Place each unit's header and body rows at host-computed byte
+    offsets (exact, from the fetched per-unit bit counts) into ONE flat
+    buffer: the fetch shrinks from the (B, qpl, out_bytes) bucket to
+    ~compressed-size bytes. Rows are placed in ascending-offset order, so
+    each row's bucket-tail garbage is overwritten by the next row; the
+    final tail lands in the cap slack."""
+    U, ob = body.shape
+    hb = hdr.shape[1]
+    out = jnp.zeros(cap + ob + hb, jnp.uint8)
+
+    def place(u, out):
+        out = jax.lax.dynamic_update_slice(out, hdr[u], (offs[u, 0],))
+        return jax.lax.dynamic_update_slice(out, body[u], (offs[u, 1],))
+
+    out = jax.lax.fori_loop(0, U, place, out)
+    return out[:cap]
+
+
 @functools.partial(jax.jit, static_argnames=("lane_block", "out_bytes"))
 def _stage2_auto(flat, tok_len, tok_dist, sel, lfreqs, dfreqs, enc_ends,
                  lane_block, out_bytes):
@@ -425,35 +445,6 @@ def _stage2_auto(flat, tok_len, tok_dist, sel, lfreqs, dfreqs, enc_ends,
 
     return jax.vmap(one)(starts, tok_len, tok_dist, sel, lfreqs, dfreqs,
                          enc_ends)
-
-
-@functools.partial(jax.jit, static_argnames=("lane_block", "out_bytes"))
-def _stage2(flat, tok_len, tok_dist, sel,
-            llen_tab, lcode_tab, dlen_tab, dcode_tab, lane_block, out_bytes):
-    """Render + pack per UNIT (quarter-lane): every unit is an independent
-    BODY bitstream against its own code tables, so the host can choose
-    stored/static/dynamic and merge trees at 16 KiB granularity (the
-    reference re-trees every sym_buf fill, trees.c FLUSH_BLOCK economics).
-    Block headers and EOB symbols are stitched on the host (they are built
-    there anyway, and keeping the device token count at exactly UNIT avoids
-    padding the pack tree to the next power of two — a 2x cost).
-    Table shapes carry a leading (B, QPL) and packing returns (B, QPL, …)."""
-    qpl = lane_block // UNIT
-    B = tok_len.shape[0]
-    starts = LANE_HIST + jnp.arange(B, dtype=I32) * lane_block
-
-    def one(s, tl, td, se, lt, lc, dt, dc):
-        pay = jax.lax.dynamic_slice(flat, (s,),
-                                    (lane_block,)).reshape(qpl, UNIT)
-        tlq = tl.astype(I32)[LANE_HIST:].reshape(qpl, UNIT)
-        tdq = td.astype(I32)[LANE_HIST:].reshape(qpl, UNIT)
-        seq = se[LANE_HIST:].reshape(qpl, UNIT)
-        return jax.vmap(lambda qb, a, b, c, w, x, y, z: _render_pack_unit(
-            qb, a, b, c, w, x, y, z, out_bytes))(
-                pay, tlq, tdq, seq, lt, lc, dt, dc)
-
-    return jax.vmap(one)(starts, tok_len, tok_dist, sel,
-                         llen_tab, lcode_tab, dlen_tab, dcode_tab)
 
 
 def _bitrev16(v: jnp.ndarray) -> jnp.ndarray:
@@ -927,15 +918,44 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                 gm["lfreqs_d"], gm["dfreqs_d"],
                 jnp.asarray(enc_ends), lane_block, out_bytes)
             meta_np = _down(meta)
-        gm["body_d"] = body if nonstored else None
-        gm["hdr_d"] = hdr if nonstored else None
+        if nonstored:
+            # compact fetch: exact per-unit byte offsets from the fetched
+            # bit counts; stored/pad/empty units place in the tail slack
+            offs = np.zeros((Bpad * qpl, 2), np.int32)
+            cur = 0
+            for i, bi in enumerate(range(g0, g1)):
+                blen = int(enc_ends[i]) - LANE_HIST
+                for q in range(qpl):
+                    u = i * qpl + q
+                    ul = min(UNIT, max(0, blen - q * UNIT))
+                    body_bits, hdr_bits, desc = (int(x) for x in
+                                                 meta_np[i, q])
+                    if ul <= 0 or not (desc & 3):
+                        offs[u] = (cur, cur)
+                        continue
+                    if (desc >> 2) & 1:                # first of block
+                        offs[u, 0] = cur
+                        cur += (hdr_bits + 7) >> 3
+                    else:
+                        offs[u, 0] = cur
+                    offs[u, 1] = cur
+                    cur += (body_bits + 7) >> 3
+            offs[(g1 - g0) * qpl:] = cur
+            cap = -(-max(cur, 1) // (1 << 17)) * (1 << 17)
+            gm["flat_packed_d"] = _compact_units(
+                body.reshape(Bpad * qpl, -1), hdr.reshape(Bpad * qpl, -1),
+                jnp.asarray(offs), cap)
+            gm["unit_off"] = offs.reshape(Bpad, qpl, 2)
+        else:
+            gm["flat_packed_d"] = None
         gm["meta"] = meta_np
         del gm["outs"], gm["flat_d"], gm["lfreqs_d"], gm["dfreqs_d"]
 
     def _stitch_auto(gm: dict) -> None:
         meta = gm["meta"]
-        body = _down(gm["body_d"]) if gm["body_d"] is not None else None
-        hdr = _down(gm["hdr_d"]) if gm["hdr_d"] is not None else None
+        flat_pk = _down(gm["flat_packed_d"]) \
+            if gm["flat_packed_d"] is not None else None
+        offs = gm.get("unit_off")
         g0, g1 = gm["g0"], gm["g1"]
         enc_ends = gm["enc_ends"]
         # locate the stream-final coded block's first unit (BFINAL patch)
@@ -971,14 +991,17 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                     stitch.append(vbuf[off:off + ul], ul * 8)
                     continue
                 if (desc >> 2) & 1:                    # first of block
-                    hp = hdr[i, q]
+                    ho = int(offs[i, q, 0])
+                    hp = flat_pk[ho: ho + ((hdr_bits + 7) >> 3)]
                     if patch_at == (i, q):
                         hp = hp.copy()
                         hp[0] |= 1                     # BFINAL
                     stitch.append(hp, hdr_bits)
                     blk_bits = hdr_bits
                     blk_stored_bound = 0
-                stitch.append(body[i, q], body_bits)
+                bo = int(offs[i, q, 1])
+                stitch.append(flat_pk[bo: bo + ((body_bits + 7) >> 3)],
+                              body_bits)
                 blk_bits += body_bits
                 blk_stored_bound += 42 + 8 * ul
                 eob_nb = (desc >> 4) & 0x1F
@@ -995,8 +1018,7 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                               blk_bits, blk_stored_bound + 3,
                               " OVERRUN" if blk_bits > blk_stored_bound + 3
                               else "")
-        gm.pop("body_d", None)
-        gm.pop("hdr_d", None)
+        gm.pop("flat_packed_d", None)
 
     def _dispatch_stage2(gm: dict) -> None:
         if quick:
