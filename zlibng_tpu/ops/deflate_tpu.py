@@ -748,23 +748,43 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
     # device execution of later groups. DEPTH bounds in-flight HBM use.
     DEPTH = 3
 
-    def _dispatch_stage1(g0: int) -> dict:
+    # group uploads run on a single prefetch thread one group ahead of the
+    # dispatch loop: the host-blocking jnp.asarray transfer (the largest
+    # per-group transfer) then overlaps device execution of the previous
+    # group instead of serializing with it
+    import concurrent.futures as _cf
+    _uploader = _cf.ThreadPoolExecutor(max_workers=1)
+    _upload_futs: dict[int, object] = {}
+
+    def _prep_flat(g0: int):
         g1 = min(g0 + max_lanes, nblocks)
         B = g1 - g0
         Bpad = 1 << (B - 1).bit_length()  # bucket to limit recompiles
-        # ONE flat upload per group: history prefix + payload, zero-padded
-        # to the Bpad bucket; lanes are assembled on device (_stage1)
         base = g0 * lane_block
         flat = vbuf[base: base + LANE_HIST + B * lane_block]
         if Bpad != B:
             flat = np.concatenate(
                 [flat, np.zeros((Bpad - B) * lane_block, np.uint8)])
+        return _up(flat)
+
+    def _prefetch_upload(g0: int) -> None:
+        if 0 <= g0 < nblocks and g0 not in _upload_futs:
+            _upload_futs[g0] = _uploader.submit(_prep_flat, g0)
+
+    def _dispatch_stage1(g0: int) -> dict:
+        g1 = min(g0 + max_lanes, nblocks)
+        B = g1 - g0
+        Bpad = 1 << (B - 1).bit_length()
+        # ONE flat upload per group: history prefix + payload, zero-padded
+        # to the Bpad bucket; lanes are assembled on device (_stage1)
+        fut = _upload_futs.pop(g0, None)
+        flat_d = fut.result() if fut is not None else _prep_flat(g0)
+        _prefetch_upload(g0 + max_lanes)
         enc_ends = np.full(Bpad, LANE_HIST, np.int32)
         hist_valids = np.zeros(Bpad, np.int32)
         for i, bi in enumerate(range(g0, g1)):
             enc_ends[i] = LANE_HIST + min(lane_block, n - bi * lane_block)
             hist_valids[i] = first_hist_valid if bi == 0 else 0
-        flat_d = _up(flat)
         with span("deflate stage1 dispatch lanes[%d:%d] Bpad=%d", g0, g1,
                   Bpad):
             outs, lfreqs_d, dfreqs_d = _stage1(
@@ -1085,19 +1105,22 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
 
     inflight: list[dict] = []
     done: list[dict] = []
-    for g0 in range(0, nblocks, max_lanes):
-        inflight.append(_dispatch_stage1(g0))
-        if len(inflight) >= DEPTH:
-            gm = inflight.pop(0)
+    try:
+        for g0 in range(0, nblocks, max_lanes):
+            inflight.append(_dispatch_stage1(g0))
+            if len(inflight) >= DEPTH:
+                gm = inflight.pop(0)
+                _dispatch_stage2(gm)
+                done.append(gm)
+            while len(done) >= DEPTH:
+                _stitch(done.pop(0))
+        for gm in inflight:
             _dispatch_stage2(gm)
             done.append(gm)
-        while len(done) >= DEPTH:
-            _stitch(done.pop(0))
-    for gm in inflight:
-        _dispatch_stage2(gm)
-        done.append(gm)
-    for gm in done:
-        _stitch(gm)
+        for gm in done:
+            _stitch(gm)
+    finally:
+        _uploader.shutdown(wait=False)
     return stitch.getvalue()
 
 
