@@ -152,7 +152,7 @@ def _render_pack_unit(qbytes, tl, td, se, lt, lc, dt, dc, out_bytes):
     from .bitpack_jax import _or_field
     from .lz77_jax import (
         dist_code_arith, dist_extra_arith, length_code_arith,
-        length_extra_arith, lookup2d, lookup_via_onehot, onehot_i8,
+        length_extra_arith, lookup2d,
     )
     tl = tl.astype(I32)
     td = td.astype(I32)
@@ -179,19 +179,20 @@ def _render_pack_unit(qbytes, tl, td, se, lt, lc, dt, dc, out_bytes):
     # only ever flips match -> literal and both variants are in hand)
     # (code, len) packed into ONE column (code < 2^15, len <= 15 ->
     # value < 2^20, exact in lookup2d's f32): halves the widest lookup
+    # and shrinks the 32-wide match-table one-hots to 2-bin factors
     lit_tab = (lc.astype(I32) | (lt.astype(I32) << 16))[:, None]
     lit_packed = lookup2d(qbytes.astype(I32), lit_tab, 18)[:, 0]
     lit_full = jnp.stack([lit_packed & 0xFFFF, lit_packed >> 16], axis=1)
-    len_tab = jnp.stack([
-        jnp.concatenate([lc[257:287].astype(I32), jnp.zeros(2, I32)]),
-        jnp.concatenate([lt[257:287].astype(I32), jnp.zeros(2, I32)]),
-    ], axis=1)
-    mr = lookup_via_onehot(onehot_i8(lsm - 257, 32), len_tab)  # (N, 2)
-    dist_tab = jnp.stack([
-        jnp.concatenate([dc.astype(I32), jnp.zeros(2, I32)]),
-        jnp.concatenate([dt.astype(I32), jnp.zeros(2, I32)]),
-    ], axis=1)
-    dr = lookup_via_onehot(onehot_i8(dsm, 32), dist_tab)       # (N, 2)
+    len_tab = (jnp.concatenate([lc[257:287].astype(I32), jnp.zeros(2, I32)])
+               | (jnp.concatenate([lt[257:287].astype(I32),
+                                   jnp.zeros(2, I32)]) << 16))[:, None]
+    mp = lookup2d(jnp.clip(lsm - 257, 0, 31), len_tab, 2)[:, 0]
+    mr = jnp.stack([mp & 0xFFFF, mp >> 16], axis=1)            # (N, 2)
+    dist_tab = (jnp.concatenate([dc.astype(I32), jnp.zeros(2, I32)])
+                | (jnp.concatenate([dt.astype(I32),
+                                    jnp.zeros(2, I32)]) << 16))[:, None]
+    dp = lookup2d(jnp.clip(dsm, 0, 31), dist_tab, 2)[:, 0]
+    dr = jnp.stack([dp & 0xFFFF, dp >> 16], axis=1)            # (N, 2)
     match_bits = mr[:, 1] + le_ + dr[:, 1] + de_
     lit_bits = lit_full[:, 1]
     csum = jnp.cumsum(jnp.stack([lit_bits,
