@@ -117,10 +117,12 @@ def main():
     best = 0.0
     size = None
     nruns = 3
+    runs_mbps = []
     for _ in range(nruns):
         t = time.perf_counter()
         c = compress_tpu(corpus, 6)
         dt = time.perf_counter() - t
+        runs_mbps.append(round(n / dt / 1e6, 2))
         best = max(best, n / dt)
         size = len(c)
     assert zlib.decompress(c) == corpus
@@ -299,6 +301,11 @@ def main():
             # what the measured codec rate scales to at full device rate
             # IF device exec (not transfers/host) bounds the wall — the
             # per-MB transfer counters above bound that assumption.
+            # the tunnel rate swings 2-4x minute-to-minute WITHIN a run
+            # (observed: L6 runs at a 4 MB/s-upload minute record 3.6
+            # while L1 minutes later records 10.3) — per-run rates make
+            # the variance visible in the record itself
+            "l6_runs_MBps": runs_mbps,
             "measured_tunnel_up_MBps": tunnel_up_mbps,
             "measured_tunnel_down_MBps": tunnel_down_mbps,
             "bytes_uploaded_per_corpus_MB": round(up_per_mb),

@@ -3,16 +3,18 @@
 Orchestration (DFLTCC-style accelerator seam, SURVEY §2.9/§5: hand whole
 blocks to the accelerator, keep the zlib framing contract):
 
-  host:   slice input into payload lanes (64-128 KiB, size-bucketed), each
+  host:   slice input into payload lanes (64-256 KiB, size-bucketed), each
           with the previous 32 KiB as read-only history (cross-block
           window ⇒ same reach as the reference's sliding window)
   device: stage 1 — hash/candidates/extension/lazy-parse per lane (vmapped),
           symbol histograms via one-hot MXU matmuls        [ops/lz77_jax.py]
-  host:   per-lane Huffman tables + dynamic header descriptor + block-type
-          choice (trees.c zng_tr_flush_block analog, numpy, ~µs per lane)
-  device: stage 2 — token rendering + bit packing           [ops/bitpack_jax.py]
-  host:   bit-level stitch of lane bitstreams + zlib/gzip wrapper; checksums
-          via the device kernels (ops/checksum_jax.py)
+  device: stage 2 — block partition (entropy-estimate DP), exact Huffman
+          tables + dynamic headers in-graph [ops/huffman_jax.py], block-
+          type choice from exact bits (trees.c zng_tr_flush_block analog),
+          token render + bit pack + exact-offset compaction
+  host:   fetch packed bytes + per-unit descriptor; bit-level stitch
+          (stored blocks inserted from the raw input) + zlib/gzip wrapper;
+          checksums via the device kernels (ops/checksum_jax.py)
 
 Compressed output is standard single-stream DEFLATE: block boundaries are
 invisible to any inflate implementation.
