@@ -84,6 +84,10 @@ HMAX = 704                       # max dynamic-header tokens (worst-case RLE)
 # pack kernel is proportional to the static output size, and typical text
 # units need ~6 KiB of the 30 KiB worst case (16384 literals x 15 bits).
 OUT_BUCKETS = (4096, 8192, 12288, 16384, UNIT * 15 // 8 + 8)
+# upload-size buckets (lanes of real payload per group upload): finer than
+# the pow2 compute bucket so group tails don't upload zero lanes; small
+# enough a set to bound jit shape variants
+_UP_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
 
 I32 = jnp.int32
 U32 = jnp.uint32
@@ -762,12 +766,17 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
     def _prep_flat(g0: int):
         g1 = min(g0 + max_lanes, nblocks)
         B = g1 - g0
-        Bpad = 1 << (B - 1).bit_length()  # bucket to limit recompiles
+        # upload bucket FINER than the compute bucket: zero-padding lanes
+        # to the pow2 Bpad is wasted link bandwidth (up to 2 lanes = 6% of
+        # the corpus on the bench mix — real money on a 4 MB/s tunnel
+        # minute); the compute arrays stay pow2, lanes beyond the upload
+        # read clamped tail bytes and are masked by enc_end = LANE_HIST
+        Bup = next(b for b in _UP_BUCKETS if b >= B)
         base = g0 * lane_block
         flat = vbuf[base: base + LANE_HIST + B * lane_block]
-        if Bpad != B:
+        if Bup != B:
             flat = np.concatenate(
-                [flat, np.zeros((Bpad - B) * lane_block, np.uint8)])
+                [flat, np.zeros((Bup - B) * lane_block, np.uint8)])
         return _up(flat)
 
     def _prefetch_upload(g0: int) -> None:
