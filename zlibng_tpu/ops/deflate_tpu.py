@@ -889,10 +889,13 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
     def _pick_out_bucket(g0: int, g1: int, enc_ends) -> int:
         """Body-pack bucket from per-unit byte entropy (host-side, no
         device round trip — the old path read exact bits from the fetched
-        freqs; the auto path keeps freqs on device). Units whose entropy
-        already exceeds ~7.2 b/B are stored-bound and don't drive the
-        bucket; a rare underestimate is caught by the overflow redispatch
-        in _dispatch_stage2_auto."""
+        freqs; the auto path keeps freqs on device). The estimate is
+        capped at the unit's stored bound: a chosen coded block never
+        exceeds stored+3 bits, and since the compact fetch decoupled
+        fetch size from the bucket, a generous bucket only costs pack
+        placement — far cheaper than the full-group overflow redispatch
+        that high-entropy (~7.9 b/B) borderline units used to trigger.
+        A rare residual underestimate is still caught by the redispatch."""
         worst_bits = 0
         for i, bi in enumerate(range(g0, g1)):
             blen = int(enc_ends[i]) - LANE_HIST
@@ -903,9 +906,8 @@ def deflate_payload_tpu(buf: np.ndarray, level: int = 6,
                                   minlength=256)
                 p = cnt[cnt > 0] / ul
                 H = float(-(p * np.log2(p)).sum())
-                if H > 7.2:
-                    continue
-                worst_bits = max(worst_bits, int(ul * H * 1.08) + 4096)
+                est = min(int(ul * H * 1.08) + 4096, 8 * ul + 64)
+                worst_bits = max(worst_bits, est)
         for ob in OUT_BUCKETS:
             if worst_bits <= (ob - 8) * 8:
                 return ob
