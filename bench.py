@@ -108,9 +108,12 @@ def main():
     n = len(corpus)
 
     # warm-up: compile all stage shapes on a prefix
-    warm = corpus[: 2 * (1 << 20)]
-    c = compress_tpu(warm, 6)
-    assert zlib.decompress(c) == warm
+    # warm with ONE FULL corpus pass: a prefix cannot compile every
+    # (group-size, upload-bucket, out-bucket, compaction-cap) jit variant
+    # the full corpus selects, and a compile landing inside the first
+    # timed run reads as a 0.1-0.9 MB/s outlier in l6_runs_MBps
+    c = compress_tpu(corpus, 6)
+    assert zlib.decompress(c) == corpus
 
     from zlibng_tpu.ops.deflate_tpu import transfer_stats
     transfer_stats["up"] = transfer_stats["down"] = 0
