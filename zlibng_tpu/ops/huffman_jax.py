@@ -101,10 +101,10 @@ def huff_lengths(freqs: jnp.ndarray, max_bits: int) -> jnp.ndarray:
     nz = freqs > 0
     m = jnp.sum(nz.astype(I32))
 
-    # ascending (freq, sym) among nonzero symbols; zeros pushed to the end
+    # ascending (freq, sym) among nonzero symbols; zeros pushed to the
+    # end; freqs ride the sort as a payload operand (no post-sort gather)
     key = jnp.where(nz, freqs * n + sym, jnp.int32(0x7FFFFFF0))
-    order = jnp.argsort(key).astype(I32)                 # (n,)
-    a0 = freqs[order]                                    # zeros-tail = huge
+    _, order, a0 = jax.lax.sort((key, sym, freqs), dimension=0, num_keys=1)
 
     a = _phase2_scan(_phase1_scan(a0, m, n), m, n)
 
